@@ -1,0 +1,265 @@
+"""Inverted-index build: transcripts → docs/lexicon/stats/postings tables.
+
+This is the engine's analogue of ``gen_embeddings("tfidf", …)``
+(model.py:166-170) — but instead of a dense doc-term matrix and an N×N
+similarity materialization (model.py:280-285, the 5-10 GB pickles the
+reference ships), it builds a compressed, sharded inverted index that
+queries prune at run time.
+
+Scale design (SURVEY.md §4.2):
+
+- **Hot-term skew defusal** (§4.2.1): posting assembly groups by
+  ``(term, shard)``, where ``shard`` is derived from the *doc-id range*,
+  sized per term from its document frequency: a stopword-like term with
+  10^9 postings becomes ``df / docs_per_shard`` independent groups, so no
+  single aggregation buffer or task ever holds more than
+  ``docs_per_shard`` postings. Rare terms keep one group. AQE skew-join
+  handling alone cannot do this — the ``collect_list`` state itself is
+  the bottleneck being split.
+- **Doc-aligned blocks**: inside a shard, postings are cut into blocks at
+  fixed doc-id boundaries (``doc_id // block_range``), identical across
+  ALL terms. Aligned blocks make every block-id segment score-complete
+  (all terms' postings for those docs live in same-id blocks), which is
+  what lets the WAND scorer prune whole segments by upper bound and stop
+  early while staying exact (operators/scorer.py).
+- **Partition pruning**: the postings table is written partitioned by
+  ``term_bucket = pmod(xxhash64(term), n_buckets)`` — a query touches
+  only the buckets of its own terms; the term equality predicate pushes
+  down into the parquet/Iceberg scan.
+- Encoding runs in ``mapInPandas`` with the batched numpy codec — one
+  vectorized call per Arrow batch, not per posting (operators/codec.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkrec import BM25_B, BM25_K1
+from sparkrec.operators.bm25 import (
+    corpus_stats,
+    doc_freqs,
+    term_freqs,
+    tokenize_docs,
+)
+from sparkrec.operators.codec import bm25_weight, encode_postings_many
+from sparkrec.operators.docs import assemble_docs, assign_doc_ids
+from sparkrec.sources.tables import read_table, table_exists, write_table
+
+POSTINGS_SCHEMA = (
+    "term string, shard int, block_id long, n int, doc_lo long, doc_hi long, "
+    "max_tf int, max_weight double, docs_enc binary, tfs_enc binary, dls_enc binary"
+)
+
+
+@dataclass
+class IndexConfig:
+    k1: float = BM25_K1
+    b: float = BM25_B
+    min_token_len: int = 2
+    remove_numeric: bool = True
+    block_range: int = 4096        # doc ids per block (aligned across terms)
+    docs_per_shard: int = 65536    # max postings per assembly group
+    n_term_buckets: int = 16       # postings partition count (↑ on clusters)
+
+
+def encode_postings(
+    tf_with_df: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
+) -> DataFrame:
+    """(doc_id, term, tf, doc_len, df) → encoded block rows.
+
+    One shuffle: groupBy (term, shard) with in-agg sort; then a
+    mapInPandas encode pass that is numpy-vectorized across every block
+    in the Arrow batch.
+    """
+    blocks_per_group = max(1, cfg.docs_per_shard // cfg.block_range)
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("df") / F.lit(cfg.docs_per_shard))
+    )
+    g = (F.col("doc_id") / F.lit(cfg.block_range)).cast("long")
+    shard = F.pmod(
+        (g / F.lit(blocks_per_group)).cast("long"), n_salts
+    ).cast("int")
+
+    grouped = (
+        tf_with_df.withColumn("shard", shard)
+        .groupBy("term", "shard")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "tf", "doc_len"))
+            ).alias("plist")
+        )
+        .select(
+            "term",
+            "shard",
+            F.transform("plist", lambda x: x["doc_id"]).alias("doc_ids"),
+            F.transform("plist", lambda x: x["tf"].cast("long")).alias("tfs"),
+            F.transform("plist", lambda x: x["doc_len"].cast("long")).alias("dls"),
+        )
+    )
+
+    block_range, k1, b = cfg.block_range, cfg.k1, cfg.b
+
+    def encode(batches):
+        for pdf in batches:
+            terms, shards, block_ids = [], [], []
+            doc_lists, tf_lists, dl_lists = [], [], []
+            for term, sh, ids, tfs, dls in zip(
+                pdf["term"], pdf["shard"], pdf["doc_ids"], pdf["tfs"], pdf["dls"]
+            ):
+                ids = np.asarray(ids, dtype=np.int64)
+                tfs = np.asarray(tfs, dtype=np.int64)
+                dls = np.asarray(dls, dtype=np.int64)
+                gids = ids // block_range
+                # split at block boundaries (ids sorted ⇒ gids sorted)
+                cut = np.flatnonzero(np.diff(gids)) + 1
+                for lo, hi in zip(
+                    np.concatenate(([0], cut)), np.concatenate((cut, [len(ids)]))
+                ):
+                    terms.append(term)
+                    shards.append(sh)
+                    block_ids.append(int(gids[lo]))
+                    doc_lists.append(ids[lo:hi].astype(np.uint64))
+                    tf_lists.append(tfs[lo:hi].astype(np.uint64))
+                    dl_lists.append(dls[lo:hi].astype(np.uint64))
+            if not terms:
+                continue
+            docs_enc, tfs_enc, dls_enc = encode_postings_many(
+                doc_lists, tf_lists, dl_lists
+            )
+            flat_tf = np.concatenate(tf_lists)
+            flat_dl = np.concatenate(dl_lists)
+            w = bm25_weight(flat_tf, flat_dl, avgdl, k1, b)
+            lens = np.array([len(x) for x in doc_lists])
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            max_w = np.maximum.reduceat(w, starts)
+            max_tf = np.maximum.reduceat(flat_tf, starts)
+            yield pd.DataFrame(
+                {
+                    "term": terms,
+                    "shard": np.asarray(shards, dtype=np.int32),
+                    "block_id": np.asarray(block_ids, dtype=np.int64),
+                    "n": lens.astype(np.int32),
+                    "doc_lo": np.array([int(x[0]) for x in doc_lists], dtype=np.int64),
+                    "doc_hi": np.array([int(x[-1]) for x in doc_lists], dtype=np.int64),
+                    "max_tf": max_tf.astype(np.int32),
+                    "max_weight": max_w,
+                    "docs_enc": docs_enc,
+                    "tfs_enc": tfs_enc,
+                    "dls_enc": dls_enc,
+                }
+            )
+
+    return grouped.mapInPandas(encode, schema=POSTINGS_SCHEMA)
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    index_root: str,
+    cfg: IndexConfig | None = None,
+    overwrite: bool = False,
+    metrics=None,
+) -> None:
+    """Full build: docs → stats → lexicon → postings, each a resumable
+    stage (skip-if-table-exists — the reference's memoize-on-existence
+    semantics, data_utils.py:302/457, model.py:178)."""
+    from sparkrec.plans.manifest import Stage
+
+    cfg = cfg or IndexConfig()
+
+    with Stage("docs", index_root, overwrite, metrics) as st:
+        if st.needed:
+            docs = tokenize_docs(
+                assign_doc_ids(assemble_docs(transcripts)),
+                min_token_len=cfg.min_token_len,
+                remove_numeric=cfg.remove_numeric,
+            )
+            write_table(
+                docs.select(
+                    "doc_id", "conv_id", "turn_lo", "turn_hi", "n_turns",
+                    "ts_lo", "ts_hi", "doc_len", "tokens",
+                ),
+                index_root,
+                "docs",
+            )
+
+    docs = read_table(spark, index_root, "docs")
+
+    with Stage("stats", index_root, overwrite, metrics) as st:
+        if st.needed:
+            n_docs, avgdl = corpus_stats(docs)
+            write_table(
+                spark.createDataFrame(
+                    [(n_docs, avgdl, cfg.k1, cfg.b, cfg.block_range)],
+                    "n_docs long, avgdl double, k1 double, b double, block_range int",
+                ),
+                index_root,
+                "stats",
+            )
+
+    stats = read_table(spark, index_root, "stats").collect()[0]
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    tf = term_freqs(docs)
+
+    with Stage("lexicon", index_root, overwrite, metrics) as st:
+        if st.needed:
+            lex = doc_freqs(tf).withColumn(
+                "idf",
+                F.log(
+                    (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                ),
+            ).withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
+            )
+            write_table(lex, index_root, "lexicon")
+
+    with Stage("postings", index_root, overwrite, metrics) as st:
+        if st.needed:
+            lex = read_table(spark, index_root, "lexicon").select("term", "df")
+            tf_with_df = tf.join(lex, "term")
+            enc = encode_postings(tf_with_df, n_docs, avgdl, cfg).withColumn(
+                "term_bucket",
+                F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
+            )
+            write_table(enc, index_root, "postings", partition_by=["term_bucket"])
+
+
+@dataclass
+class Index:
+    root: str
+    n_docs: int
+    avgdl: float
+    k1: float
+    b: float
+    block_range: int
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "Index":
+        stats = read_table(spark, root, "stats").collect()[0]
+        return cls(
+            root=root,
+            n_docs=int(stats["n_docs"]),
+            avgdl=float(stats["avgdl"]),
+            k1=float(stats["k1"]),
+            b=float(stats["b"]),
+            block_range=int(stats["block_range"]),
+        )
+
+    def postings(self, spark: SparkSession) -> DataFrame:
+        return read_table(spark, self.root, "postings")
+
+    def lexicon(self, spark: SparkSession) -> DataFrame:
+        return read_table(spark, self.root, "lexicon")
+
+    def docs(self, spark: SparkSession) -> DataFrame:
+        return read_table(spark, self.root, "docs")

@@ -1,0 +1,193 @@
+"""Query-time BM25 scoring: exact document-at-a-time with block-max pruning.
+
+Replaces the reference's dense N×N similarity lookup + sort
+(model.py:280-285 + 372-383) with index-time pruning (SURVEY.md §4.2.3).
+
+The numpy kernel (``wand_topk``) is an exact block-max WAND variant over
+*doc-aligned* blocks (operators/indexer.py): because every term's blocks
+are cut at the same doc-id boundaries, a block id ``g`` denotes a
+score-complete doc segment — decoding all query-term blocks with id ``g``
+yields final scores for every doc in the segment. The kernel therefore:
+
+1. computes a per-segment upper bound  UB(g) = Σ_t qtf·idf_t·max_weight(t,g)
+2. visits segments in descending UB order, chunk-at-a-time, maintaining a
+   running top-k threshold θ,
+3. stops as soon as the next segment's UB < θ (or ≤ θ with a full heap and
+   no possible tie improvement) — never decoding the skipped blocks.
+
+Everything is vectorized: decode is the batched varint codec; per-segment
+accumulation is sort + reduceat. Exactness is tested against both the
+exhaustive DataFrame path and the pure-Python oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparkrec.operators.bm25 import query_terms_df
+from sparkrec.operators.codec import bm25_weight, decode_postings_many
+from sparkrec.operators.indexer import Index
+
+TOPK_SCHEMA = "query_id string, rank int, doc_id long, score double"
+
+
+def wand_topk(
+    blocks: pd.DataFrame,
+    term_meta: dict[str, tuple[float, int]],
+    k: int,
+    avgdl: float,
+    k1: float,
+    b: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over one query's posting blocks.
+
+    ``blocks``: columns term, block_id, max_weight, docs_enc, tfs_enc,
+    dls_enc (all blocks of all query terms). ``term_meta``: term →
+    (idf, qtf). Returns (doc_ids, scores) sorted (score desc, doc_id asc).
+    """
+    if len(blocks) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
+
+    factor = np.array(
+        [term_meta[t][0] * term_meta[t][1] for t in blocks["term"]], dtype=np.float64
+    )
+    gids = blocks["block_id"].to_numpy(dtype=np.int64)
+    ub_contrib = factor * blocks["max_weight"].to_numpy(dtype=np.float64)
+
+    # per-segment upper bounds
+    seg_ids, seg_inv = np.unique(gids, return_inverse=True)
+    seg_ub = np.zeros(len(seg_ids), dtype=np.float64)
+    np.add.at(seg_ub, seg_inv, ub_contrib)
+
+    order = np.argsort(-seg_ub, kind="stable")  # segments by UB desc
+
+    top_docs = np.zeros(0, dtype=np.int64)
+    top_scores = np.zeros(0, dtype=np.float64)
+    theta = -np.inf
+    visited = 0
+    chunk = max(8, 2 * k)
+
+    docs_enc = blocks["docs_enc"].to_numpy(dtype=object)
+    tfs_enc = blocks["tfs_enc"].to_numpy(dtype=object)
+    dls_enc = blocks["dls_enc"].to_numpy(dtype=object)
+
+    while visited < len(order):
+        take = order[visited : visited + chunk]
+        # early exit: all remaining segments bounded below current θ
+        if len(top_scores) >= k and seg_ub[take[0]] < theta:
+            break
+        take = take[(seg_ub[take] >= theta) | (len(top_scores) < k)]
+        if len(take) == 0:
+            break
+        visited += chunk
+
+        sel = np.isin(seg_inv, take)
+        idx = np.flatnonzero(sel)
+        if len(idx) == 0:
+            continue
+        d_lists, t_lists, l_lists = decode_postings_many(
+            [docs_enc[i] for i in idx],
+            [tfs_enc[i] for i in idx],
+            [dls_enc[i] for i in idx],
+        )
+        lens = np.array([len(x) for x in d_lists], dtype=np.int64)
+        flat_docs = np.concatenate(d_lists).astype(np.int64)
+        flat_tf = np.concatenate(t_lists)
+        flat_dl = np.concatenate(l_lists)
+        w = bm25_weight(flat_tf, flat_dl, avgdl, k1, b)
+        w *= np.repeat(factor[idx], lens)
+
+        # accumulate per doc: sort by doc then reduceat (deterministic order)
+        srt = np.argsort(flat_docs, kind="stable")
+        sd = flat_docs[srt]
+        sw = w[srt]
+        starts = np.flatnonzero(np.concatenate(([True], sd[1:] != sd[:-1])))
+        seg_doc_ids = sd[starts]
+        seg_scores = np.add.reduceat(sw, starts)
+
+        # merge into running top-k
+        top_docs = np.concatenate((top_docs, seg_doc_ids))
+        top_scores = np.concatenate((top_scores, seg_scores))
+        if len(top_scores) > k:
+            # trim to the top k (keeping score ties so the doc_id asc
+            # tie-break stays exact across segment boundaries)
+            keep_thresh = np.partition(-top_scores, k - 1)[k - 1]
+            keep = np.flatnonzero(-top_scores <= keep_thresh)
+            top_docs, top_scores = top_docs[keep], top_scores[keep]
+        if len(top_scores) >= k:
+            theta = -np.partition(-top_scores, k - 1)[k - 1]
+
+    # final exact ordering: score desc, doc_id asc
+    order = np.lexsort((top_docs, -top_scores))[:k]
+    return top_docs[order], top_scores[order]
+
+
+def bm25_query_topk(
+    spark: SparkSession,
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int,
+    min_token_len: int = 2,
+    remove_numeric: bool = True,
+) -> DataFrame:
+    """Batch top-k for a list of (query_id, text) against a built index.
+
+    Plan: driver-side query tokenization (queries are tiny) → lexicon
+    lookup filtered by term (+ its term_bucket for partition pruning) →
+    partition-pruned posting-block scan → one ``applyInPandas`` group per
+    query running the exact WAND kernel → (query_id, rank, doc_id, score).
+    """
+    qterms = query_terms_df(
+        spark, queries, min_token_len=min_token_len, remove_numeric=remove_numeric
+    )
+    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    lex = (
+        index.lexicon(spark)
+        .filter(F.col("term").isin(terms))
+        .select("term", "idf", "term_bucket")
+    )
+    lex_rows = lex.collect()
+    buckets = sorted({r["term_bucket"] for r in lex_rows})
+    live_terms = [r["term"] for r in lex_rows]
+    if not live_terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+
+    blocks = index.postings(spark).filter(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(live_terms)
+    )
+    q_with_idf = qterms.join(
+        spark.createDataFrame(
+            [(r["term"], r["idf"]) for r in lex_rows], "term string, idf double"
+        ),
+        "term",
+    )
+    joined = blocks.join(F.broadcast(q_with_idf), "term").select(
+        "query_id", "term", "qtf", "idf", "block_id", "max_weight",
+        "docs_enc", "tfs_enc", "dls_enc",
+    )
+
+    avgdl, k1, b = index.avgdl, index.k1, index.b
+
+    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["query_id"].iloc[0]
+        meta = {}
+        for t, idf, qtf in zip(pdf["term"], pdf["idf"], pdf["qtf"]):
+            meta[t] = (float(idf), int(qtf))
+        doc_ids, scores = wand_topk(pdf, meta, k, avgdl, k1, b)
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                "rank": np.arange(1, len(doc_ids) + 1, dtype=np.int32),
+                "doc_id": doc_ids,
+                "score": scores,
+            }
+        )
+
+    return joined.groupBy("query_id").applyInPandas(score_one, schema=TOPK_SCHEMA)
