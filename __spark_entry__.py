@@ -1,38 +1,577 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship BM25 top-k on sf0.001.
+``queries()`` — one entry per implemented operator family (SURVEY.md §2 +
+the training-data-pipeline ladder: dedup / similarity search / text
+analysis / multimodal plumbing).
+``oracle_sql()`` — DuckDB twins. Float-bearing outputs are rounded (4
+decimals for BM25 sums, 6 for ratios/cosines) on BOTH sides, and every
+ranking orders by the ROUNDED value with an id tie-break, so cross-engine
+value-hash comparison is stable. SQL-inexpressible operators (xxhash64
+SimHash, MinHash-LSH, WAND over the transcripts pipeline, multimodal
+decode) have no oracle entry → driver records rows-only checks.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkrec.functions.sqltok import MIN_TOKEN_LEN, NUMERIC_RE, TOKEN_RE, duck_tokenize, sql_tokenize_expr
+from sparkrec.functions.textstats import (
+    FP_BASE,
+    FP_MOD,
+    LANG_STOPWORDS,
+    char_fingerprint_expr,
+    lang_id_expr,
+    quality_features,
+)
+from sparkrec import BM25_B, BM25_K1
+
+# Fixed query set over the driver's `documents` table (vocab is the small
+# OLAP-word pool seen in the synthetic corpus).
+Q_SINGLE = [("q1", "merge sort join")]
+Q_BATCH = [
+    ("q1", "merge sort join"),
+    ("q2", "vector stream batch"),
+    ("q3", "customer query filter"),
+]
+TOP_K = 10
+FOLD_RATINGS = [8.0, 6.0]
+BIGRAM_MIN_COUNT = 10
+JACCARD_THRESHOLD = 0.15
+COS_DUP_THRESHOLD = 0.42
+FUZZY_MISSED = "steel plate"
+
+
+# ---------------------------------------------------------------------------
+# shared Spark-side building blocks
+# ---------------------------------------------------------------------------
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _documents(spark, sf_dir).select(
+        "doc_id", sql_tokenize_expr(F.col("text")).alias("tokens")
+    )
+
+
+def _tokenized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _doc_tokens(spark, sf_dir).withColumn("doc_len", F.size("tokens"))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str,
+                 queries: list[tuple[str, str]]) -> DataFrame:
+    """(query_id, doc_id, score) exact BM25 via the DataFrame-only path."""
+    from sparkrec.operators.bm25 import (
+        bm25_contrib_expr, corpus_stats, doc_freqs, idf_expr, query_terms_df,
+        term_freqs,
+    )
+
+    tokenized = _tokenized(spark, sf_dir)
+    tf = term_freqs(tokenized)
+    dfr = doc_freqs(tf)
+    n_docs, avgdl = corpus_stats(tokenized)
+    qterms = query_terms_df(spark, queries)
+    q_idf = qterms.join(dfr, "term").withColumn("idf", idf_expr(F.col("df"), n_docs))
+    contrib = tf.join(F.broadcast(q_idf), "term").select(
+        "query_id",
+        "doc_id",
+        bm25_contrib_expr(
+            F.col("tf"), F.col("doc_len"), F.col("idf"), F.col("qtf"), avgdl
+        ).alias("contrib"),
+    )
+    return contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("score")
+    )
+
+
+def _ranked(scores: DataFrame, k: int, per_query: bool) -> DataFrame:
+    """Round → rank by rounded score (id tie-break) → limit k."""
+    r = scores.withColumn("score", F.round("score", 4))
+    keys = ["query_id"] if per_query else []
+    w = Window.partitionBy(*keys).orderBy(F.desc("score"), F.asc("doc_id"))
+    out = r.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    cols = (["query_id"] if per_query else []) + ["rank", "doc_id", "score"]
+    return out.select(*cols)
+
+
+def _entry_index_root(sf_dir: str) -> str:
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join("/tmp", f"sparkrec_entry_idx_{tag}")
+
+
+def _docs_index(spark: SparkSession, sf_dir: str):
+    """Compressed block-max index over the documents table (cached on disk,
+    skip-if-exists — same memoization semantics as the build stages)."""
+    from sparkrec.operators.indexer import Index, IndexConfig, build_index_from_docs
+
+    root = _entry_index_root(sf_dir)
+    cfg = IndexConfig(block_range=64, docs_per_shard=4096, n_term_buckets=8)
+    docs = _tokenized(spark, sf_dir)
+    build_index_from_docs(spark, docs, root, cfg)
+    return Index.load(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def q_doc_tf(spark, sf_dir):
+    from sparkrec.operators.bm25 import term_freqs
+
+    return term_freqs(_tokenized(spark, sf_dir)).select("doc_id", "term", "tf")
+
+
+def q_doc_df(spark, sf_dir):
+    from sparkrec.operators.bm25 import doc_freqs, term_freqs
+
+    return doc_freqs(term_freqs(_tokenized(spark, sf_dir)))
+
+
+def q_corpus_stats(spark, sf_dir):
+    return _tokenized(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("doc_len"), 6).alias("avgdl"),
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    return _ranked(_bm25_scores(spark, sf_dir, Q_SINGLE), TOP_K, False).drop(
+        "query_id"
+    )
+
+
+def q_bm25_topk_batch(spark, sf_dir):
+    return _ranked(_bm25_scores(spark, sf_dir, Q_BATCH), TOP_K, True)
+
+
+def q_bm25_wand_topk(spark, sf_dir):
+    from sparkrec.operators.scorer import bm25_query_topk
+
+    idx = _docs_index(spark, sf_dir)
+    out = bm25_query_topk(spark, idx, Q_SINGLE, TOP_K)
+    # re-rank on the rounded score so tie handling matches the SQL oracle
+    return _ranked(out.select("query_id", "doc_id", "score"), TOP_K, False).drop(
+        "query_id"
+    )
+
+
+def q_multi_input_fold(spark, sf_dir):
+    from sparkrec.operators.recommend import fold_multi_input_scores
+
+    # per-input scores rounded to 4 BEFORE the fold — the SQL twin folds
+    # the rounded `scored` CTE, so both engines fold identical doubles
+    scores = _bm25_scores(spark, sf_dir, Q_BATCH[:2]).withColumn(
+        "score", F.round("score", 4)
+    )
+    per_input = [
+        scores.filter(F.col("query_id") == qid).select("doc_id", "score")
+        for qid, _ in Q_BATCH[:2]
+    ]
+    folded = fold_multi_input_scores(per_input, FOLD_RATINGS)
+    return folded.select("doc_id", F.round("score", 4).alias("score"))
+
+
+def q_bigram_counts(spark, sf_dir):
+    from sparkrec.operators.dedup import ngrams_expr
+
+    docs = _documents(spark, sf_dir)
+    return (
+        docs.select(
+            F.explode(ngrams_expr(sql_tokenize_expr(F.col("text")), 2)).alias(
+                "shingle"
+            )
+        )
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= BIGRAM_MIN_COUNT)
+    )
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    from sparkrec.operators.dedup import exact_dup_groups
+
+    return exact_dup_groups(_documents(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from sparkrec.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), n=2, threshold=JACCARD_THRESHOLD,
+        max_shingle_df=10**9,
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id", lang_id_expr(sql_tokenize_expr(F.col("text"))).alias("lang_pred")
+    )
+
+
+def q_quality(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    feats = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].cast("int").alias("n_chars"),
+        feats["n_tokens"].cast("int").alias("n_tokens"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["stopword_ratio"], 6).alias("stopword_ratio"),
+        F.round(feats["mean_token_len"], 6).alias("mean_token_len"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        char_fingerprint_expr(sql_tokenize_expr(F.col("text"))).alias("fp"),
+    )
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_cosine_topk(spark, sf_dir):
+    from sparkrec.operators.simsearch import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk(emb, _query_vec(spark, sf_dir), TOP_K)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from sparkrec.operators.simsearch import near_dup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return near_dup_pairs(emb, threshold=COS_DUP_THRESHOLD, exact=True)
+
+
+def q_fuzzy_suggest(spark, sf_dir):
+    from sparkrec.operators.recommend import fuzzy_suggestions
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        F.col("p_name").alias("title")
+    )
+    return fuzzy_suggestions(part, FUZZY_MISSED, n=5)
+
+
+def q_topn_per_group(spark, sf_dir):
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "value")
+    )
+
+
+# --- rows-only entries (no ANSI-SQL twin) ----------------------------------
+
+def q_simhash_near(spark, sf_dir):
+    from sparkrec.operators.dedup import simhash_near_pairs, simhash_signatures
+
+    sigs = simhash_signatures(_documents(spark, sf_dir))
+    return simhash_near_pairs(sigs, max_hamming=3, n_bands=4)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from sparkrec.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(
+        _documents(spark, sf_dir), threshold=JACCARD_THRESHOLD,
+        n_hashes=64, n_bands=16, shingle_n=2,
+    )
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    from sparkrec.operators.simsearch import add_lsh_buckets, cosine_topk_lsh
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(_query_vec(spark, sf_dir))
+    bucketed = add_lsh_buckets(emb, dim=dim, n_planes=6)
+    return cosine_topk_lsh(
+        bucketed, _query_vec(spark, sf_dir), TOP_K, dim=dim, n_planes=6,
+        multiprobe=2,
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from sparkrec.operators.multimodal import extract_features, synth_media_df
+
+    media = synth_media_df(spark, _documents(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
+def q_transcripts_wand(spark, sf_dir):
+    """Full transcripts pipeline: datagen → assemble (turn-order invariant)
+    → tokenize → compressed index → WAND top-k. Deterministic, rows-only."""
+    from sparkrec.datagen import transcripts_df
+    from sparkrec.operators.indexer import Index, IndexConfig, build_index
+    from sparkrec.operators.scorer import bm25_query_topk
+
+    root = _entry_index_root(sf_dir) + "_transcripts"
+    cfg = IndexConfig(block_range=64, docs_per_shard=4096, n_term_buckets=8)
+    t = transcripts_df(spark, n_convs=150)
+    build_index(spark, t, root, cfg)
+    idx = Index.load(spark, root)
+    out = bm25_query_topk(
+        spark, idx, [("t1", "term0001 term0007"), ("t2", "term0500")], 10
+    )
+    return out.select(
+        "query_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "doc_tf": q_doc_tf,
+        "doc_df": q_doc_df,
+        "corpus_stats": q_corpus_stats,
+        "bm25_topk": q_bm25_topk,
+        "bm25_topk_batch": q_bm25_topk_batch,
+        "bm25_wand_topk": q_bm25_wand_topk,
+        "multi_input_fold": q_multi_input_fold,
+        "bigram_counts": q_bigram_counts,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "lang_id": q_lang_id,
+        "quality": q_quality,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "fuzzy_suggest": q_fuzzy_suggest,
+        "topn_per_group": q_topn_per_group,
+        # rows-only (no SQL-expressible oracle):
+        "simhash_near": q_simhash_near,
+        "minhash_pairs": q_minhash_pairs,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "media_features": q_media_features,
+        "transcripts_wand": q_transcripts_wand,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql()
+# ---------------------------------------------------------------------------
+
+_TOK = duck_tokenize("text")
+
+_TOKS_CTE = f"toks AS (SELECT doc_id, {_TOK} AS tokens FROM documents)"
+
+_TF_CTES = f"""{_TOKS_CTE},
+dl AS (SELECT doc_id, len(tokens) AS doc_len FROM toks),
+tf AS (SELECT doc_id, term, count(*)::INTEGER AS tf
+       FROM (SELECT doc_id, unnest(tokens) AS term FROM toks)
+       GROUP BY doc_id, term)"""
+
+
+def _qvalues(queries: list[tuple[str, str]]) -> str:
+    from collections import Counter
+
+    from sparkrec.functions.sqltok import py_sql_tokenize
+
+    rows = []
+    for qid, text in queries:
+        for t, c in sorted(Counter(py_sql_tokenize(text)).items()):
+            rows.append(f"('{qid}', '{t}', {c})")
+    return ", ".join(rows)
+
+
+def _bm25_scored_cte(queries: list[tuple[str, str]]) -> str:
+    k1, b = BM25_K1, BM25_B
+    return f"""{_TF_CTES},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+qterms AS (SELECT * FROM (VALUES {_qvalues(queries)}) AS q(query_id, term, qtf)),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         round(sum(q.qtf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doc_len / s.avgdl))), 4)
+         AS score
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)"""
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    bm25_single = f"""WITH {_bm25_scored_cte(Q_SINGLE)}
+SELECT rank, doc_id, score FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scored) WHERE rank <= {TOP_K}"""
+
+    bm25_batch = f"""WITH {_bm25_scored_cte(Q_BATCH)}
+SELECT query_id, rank, doc_id, score FROM (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id)::INTEGER AS rank
+  FROM scored) WHERE rank <= {TOP_K}"""
+
+    w0, w1 = (r / 10.0 for r in FOLD_RATINGS)
+    fold = f"""WITH {_bm25_scored_cte(Q_BATCH[:2])},
+s1 AS (SELECT doc_id, score FROM scored WHERE query_id = 'q1'),
+s2 AS (SELECT doc_id, score FROM scored WHERE query_id = 'q2')
+SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+       round((1.0 * coalesce({w0} * s1.score, 0.0)
+              + {w1} * coalesce(s2.score, 0.0)) / 2.0, 4) AS score
+FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id"""
+
+    bigrams = f"""WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS p FROM toks),
+big AS (SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+               AS shingle FROM pos)
+SELECT shingle, count(*) AS cnt FROM big WHERE shingle IS NOT NULL
+GROUP BY shingle HAVING count(*) >= {BIGRAM_MIN_COUNT}"""
+
+    jaccard = f"""WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS p FROM toks),
+big AS (SELECT doc_id,
+               tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+               AS shingle FROM pos),
+sh AS (SELECT DISTINCT doc_id, shingle FROM big WHERE shingle IS NOT NULL),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS isect
+          FROM sh a JOIN sh b ON a.shingle = b.shingle
+                              AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(isect::DOUBLE / (sa.sz + sb.sz - isect), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE isect::DOUBLE / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}"""
+
+    hits = {
+        lang: f"len(list_filter(tokens, t -> list_contains({_sw_list(lang)}, t)))"
+        for lang in LANG_STOPWORDS
+    }
+    lang_id = f"""WITH {_TOKS_CTE},
+h AS (SELECT doc_id, {hits['en']} AS h_en, {hits['de']} AS h_de,
+             {hits['fr']} AS h_fr FROM toks)
+SELECT doc_id,
+  CASE WHEN h_en > 0 AND h_en >= h_de AND h_en >= h_fr THEN 'en'
+       WHEN h_de > 0 AND h_de >= h_fr THEN 'de'
+       WHEN h_fr > 0 THEN 'fr'
+       ELSE 'und' END AS lang_pred
+FROM h"""
+
+    quality = f"""WITH {_TOKS_CTE},
+q AS (SELECT d.doc_id,
+        length(d.text)::INTEGER AS n_chars,
+        len(t.tokens)::INTEGER AS n_tokens,
+        length(regexp_replace(d.text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+        len(list_filter(t.tokens,
+            tk -> list_contains({_sw_list('en')}, tk))) AS sw_hits,
+        list_sum(list_transform(t.tokens, tk -> len(tk))) AS tok_chars
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+SELECT doc_id, n_chars, n_tokens,
+  round(alpha_chars::DOUBLE / greatest(n_chars, 1), 6) AS alpha_ratio,
+  round(sw_hits::DOUBLE / greatest(n_tokens, 1), 6) AS stopword_ratio,
+  round(coalesce(tok_chars, 0)::DOUBLE / greatest(n_tokens, 1), 6)
+    AS mean_token_len
+FROM q"""
+
+    fingerprints = f"""WITH {_TOKS_CTE}
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(tokens, t -> len(t)::BIGINT * {FP_BASE} + ascii(t))),
+    (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}) AS fp
+FROM toks"""
+
+    cosine = f"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+parts AS (SELECT e.vec_id, unnest(e.v) AS x, unnest(q.qv) AS y
+          FROM e CROSS JOIN q),
+agg AS (SELECT vec_id, sum(x * y) AS dot, sum(x * x) AS n2
+        FROM parts GROUP BY vec_id),
+qn AS (SELECT sqrt(sum(y * y)) AS qnorm
+       FROM (SELECT unnest(qv) AS y FROM q))
+SELECT vec_id, cos FROM (
+  SELECT vec_id, round(dot / (sqrt(n2) * qn.qnorm), 6) AS cos
+  FROM agg CROSS JOIN qn)
+ORDER BY cos DESC, vec_id LIMIT {TOP_K}"""
+
+    near_dup = f"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        round(list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v))
+             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cos FROM p WHERE cos >= {COS_DUP_THRESHOLD}"""
+
+    fuzzy = f"""WITH t AS (SELECT p_name AS title FROM part)
+SELECT title,
+  round(1.0 - levenshtein(lower(title), '{FUZZY_MISSED.lower()}')::DOUBLE
+        / greatest(length(title), {len(FUZZY_MISSED)}, 1), 6) AS similarity
+FROM t ORDER BY similarity DESC, title LIMIT 5"""
+
+    topn = """SELECT user_id, event_id, value FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn = 1"""
+
+    return {
+        "doc_tf": f"WITH {_TF_CTES} SELECT doc_id, term, tf FROM tf",
+        "doc_df": f"WITH {_TF_CTES} SELECT term, count(*) AS df FROM tf GROUP BY term",
+        "corpus_stats": f"""WITH {_TOKS_CTE}
+SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
+        "bm25_topk": bm25_single,
+        "bm25_topk_batch": bm25_batch,
+        "bm25_wand_topk": bm25_single,
+        "multi_input_fold": fold,
+        "bigram_counts": bigrams,
+        "exact_dup_groups": """SELECT md5(text) AS text_md5, count(*) AS n_dups,
+ min(doc_id) AS keeper FROM documents GROUP BY md5(text)""",
+        "ngram_jaccard": jaccard,
+        "lang_id": lang_id,
+        "quality": quality,
+        "fingerprints": fingerprints,
+        "cosine_topk": cosine,
+        "embedding_near_dup": near_dup,
+        "fuzzy_suggest": fuzzy,
+        "topn_per_group": topn,
+    }

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Headline benchmark — one JSON line on stdout.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Steps mirror BASELINE.json's metric:
+indexing throughput (turns/sec) over the synthetic transcripts table,
+BM25 query latency (batch throughput + per-query p50/p99) on the
+compressed block-max index, plus the training-data-pipeline operators
+(dedup / ANN / text-quality) over the driver's documents+embeddings
+tables.
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+jobs/bench_scaling.py and recorded in BENCH.md — this script is the
+single-configuration per-round probe.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+INDEX_ROOT = os.environ.get(
+    "SPARKREC_BENCH_ROOT", f"/tmp/sparkrec_bench_{os.path.basename(SF_DIR)}"
+)
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(200, int(20000 * sf))
+
+    from pyspark.sql import functions as F
+
+    from sparkrec.datagen import gen_queries, transcripts_df
+    from sparkrec.operators.indexer import Index, IndexConfig, build_index
+    from sparkrec.operators.scorer import bm25_query_topk
+    from sparkrec.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(
+        app_name="sparkrec-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=2 * CPUS,
+    )
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def step(name: str, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # -- 1. index build over transcripts (headline: turns/sec) -------------
+    shutil.rmtree(INDEX_ROOT, ignore_errors=True)
+    t = transcripts_df(spark, n_convs).cache()
+    n_turns = t.count()
+
+    step(
+        "index_build",
+        lambda: build_index(
+            spark, t, INDEX_ROOT, IndexConfig(), overwrite=True
+        ),
+    )
+    extra["turns_indexed"] = n_turns
+    extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+
+    idx = Index.load(spark, INDEX_ROOT)
+    qset = [
+        (r["query_id"], r["query_text"])
+        for _, r in gen_queries(n_convs).iterrows()
+    ]
+
+    # -- 2. WAND query batch throughput + per-query latency ----------------
+    step(
+        "wand_batch",
+        lambda: bm25_query_topk(spark, idx, qset, 10).count(),
+    )
+    extra["queries_per_sec"] = round(len(qset) / timings["wand_batch"], 2)
+
+    lat = []
+    for qid, qtext in qset[:10]:
+        t0 = time.monotonic()
+        bm25_query_topk(spark, idx, [(qid, qtext)], 10).collect()
+        lat.append(time.monotonic() - t0)
+    lat.sort()
+    timings["wand_single_10"] = round(sum(lat), 3)
+    extra["query_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
+    extra["query_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+
+    # -- 3. DataFrame-only BM25 over the driver documents table ------------
+    step(
+        "bm25_dataframe",
+        lambda: entry.q_bm25_topk_batch(spark, SF_DIR).count(),
+    )
+
+    # -- 4. dedup ladder over documents -------------------------------------
+    step("minhash_lsh_dedup", lambda: entry.q_minhash_pairs(spark, SF_DIR).count())
+    step("simhash_near", lambda: entry.q_simhash_near(spark, SF_DIR).count())
+
+    # -- 5. ANN over embeddings ---------------------------------------------
+    step("cosine_topk", lambda: entry.q_cosine_topk(spark, SF_DIR).count())
+    step("lsh_cosine_topk", lambda: entry.q_lsh_cosine_topk(spark, SF_DIR).count())
+
+    # -- 6. text-quality single pass ----------------------------------------
+    step(
+        "text_quality",
+        lambda: entry.q_quality(spark, SF_DIR)
+        .join(entry.q_lang_id(spark, SF_DIR), "doc_id")
+        .join(entry.q_fingerprints(spark, SF_DIR), "doc_id")
+        .count(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sparkrec headline (index build + BM25 WAND query + "
+                "dedup/ANN/quality)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -166,9 +166,9 @@ def build_index(
     overwrite: bool = False,
     metrics=None,
 ) -> None:
-    """Full build: docs → stats → lexicon → postings, each a resumable
-    stage (skip-if-table-exists — the reference's memoize-on-existence
-    semantics, data_utils.py:302/457, model.py:178)."""
+    """Full build from transcripts: docs → stats → lexicon → postings,
+    each a resumable stage (skip-if-table-exists — the reference's
+    memoize-on-existence semantics, data_utils.py:302/457, model.py:178)."""
     from sparkrec.plans.manifest import Stage
 
     cfg = cfg or IndexConfig()
@@ -188,6 +188,36 @@ def build_index(
                 index_root,
                 "docs",
             )
+
+    build_index_from_docs(spark, None, index_root, cfg, overwrite, metrics)
+
+
+def build_index_from_docs(
+    spark: SparkSession,
+    docs: DataFrame | None,
+    index_root: str,
+    cfg: IndexConfig | None = None,
+    overwrite: bool = False,
+    metrics=None,
+) -> None:
+    """Index build over an already-tokenized docs table.
+
+    ``docs`` needs (doc_id long, tokens array<string>, doc_len int) plus
+    any metadata columns; pass None to resume from an existing ``docs``
+    table under ``index_root``. This is the generic entry point — any
+    corpus with stable integer doc ids (e.g. the driver's ``documents``
+    parquet) indexes through here; transcripts go through
+    ``build_index`` which adds assembly + id assignment first.
+    """
+    from sparkrec.plans.manifest import Stage
+
+    cfg = cfg or IndexConfig()
+
+    with Stage("docs", index_root, overwrite and docs is not None, metrics) as st:
+        if st.needed and docs is not None:
+            write_table(docs, index_root, "docs")
+        elif st.needed:
+            raise ValueError("docs DataFrame required: no docs table at root")
 
     docs = read_table(spark, index_root, "docs")
 
