@@ -55,8 +55,21 @@ FUZZY_MISSED = "steel plate"
 # shared Spark-side building blocks
 # ---------------------------------------------------------------------------
 
+def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a driver table, widening a too-narrow scan to the session's
+    parallelism. The small-sf parquet files are single-row-group → Spark
+    plans ONE input partition and every downstream op runs on one core;
+    at production scale the scan has thousands of splits and this is a
+    no-op (the repartition only fires when partitions < cores/2)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < target:
+        df = df.repartition(target)
+    return df
+
+
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return _read_wide(spark, sf_dir, "documents")
 
 
 def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,13 +198,9 @@ def q_multi_input_fold(spark, sf_dir):
 def q_bigram_counts(spark, sf_dir):
     from sparkrec.operators.dedup import ngrams_expr
 
-    docs = _documents(spark, sf_dir)
     return (
-        docs.select(
-            F.explode(ngrams_expr(sql_tokenize_expr(F.col("text")), 2)).alias(
-                "shingle"
-            )
-        )
+        _doc_tokens(spark, sf_dir)
+        .select(F.explode(ngrams_expr(F.col("tokens"), 2)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= BIGRAM_MIN_COUNT)
@@ -254,28 +263,28 @@ def _query_vec(spark, sf_dir) -> list[float]:
 def q_cosine_topk(spark, sf_dir):
     from sparkrec.operators.simsearch import cosine_topk
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return cosine_topk(emb, _query_vec(spark, sf_dir), TOP_K)
 
 
 def q_embedding_near_dup(spark, sf_dir):
     from sparkrec.operators.simsearch import near_dup_pairs
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read_wide(spark, sf_dir, "embeddings")
     return near_dup_pairs(emb, threshold=COS_DUP_THRESHOLD, exact=True)
 
 
 def q_fuzzy_suggest(spark, sf_dir):
     from sparkrec.operators.recommend import fuzzy_suggestions
 
-    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+    part = _read_wide(spark, sf_dir, "part").select(
         F.col("p_name").alias("title")
     )
     return fuzzy_suggestions(part, FUZZY_MISSED, n=5)
 
 
 def q_topn_per_group(spark, sf_dir):
-    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events = _read_wide(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
     return (
         events.withColumn("rn", F.row_number().over(w))
@@ -305,7 +314,7 @@ def q_minhash_pairs(spark, sf_dir):
 def q_lsh_cosine_topk(spark, sf_dir):
     from sparkrec.operators.simsearch import add_lsh_buckets, cosine_topk_lsh
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    emb = _read_wide(spark, sf_dir, "embeddings")
     dim = len(_query_vec(spark, sf_dir))
     bucketed = add_lsh_buckets(emb, dim=dim, n_planes=6)
     return cosine_topk_lsh(

@@ -71,16 +71,22 @@ def main() -> None:
     t = transcripts_df(spark, n_convs).cache()
     n_turns = t.count()
 
+    from sparkrec.plans.manifest import MetricsLog
+
+    metrics = MetricsLog(INDEX_ROOT)
     step(
         "index_build",
         lambda: build_index(
-            spark, t, INDEX_ROOT, IndexConfig(), overwrite=True
+            spark, t, INDEX_ROOT, IndexConfig(), overwrite=True, metrics=metrics
         ),
     )
     extra["turns_indexed"] = n_turns
     extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
+    for s in metrics.stages:
+        timings[f"index_stage_{s['stage']}"] = s["wall_sec"]
 
     idx = Index.load(spark, INDEX_ROOT)
+    step("index_warm", lambda: idx.warm(spark))  # pin serving tables
     qset = [
         (r["query_id"], r["query_text"])
         for _, r in gen_queries(n_convs).iterrows()

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Two-parallelism scaling-efficiency bench (BASELINE.json north rule).
+
+The rule demands ≥0.8 throughput scaling efficiency from N to 4N
+executors. This sandbox has no multi-node cluster, so the evidence is the
+same job — identical input, identical seed — run at two parallelism
+levels in FRESH JVMs (one subprocess per level, so no warm-JVM bias):
+
+    python jobs/bench_scaling.py --low 8 --high 32 --n-convs 12000
+
+For each level it: generates the seeded transcripts table (distributed,
+order-independent), builds the full compressed index, and runs the
+fixture query batch. Efficiency = (tput_high / tput_low) / (cores_high /
+cores_low). It also verifies the two runs' query results are IDENTICAL
+(ids and scores) — determinism across parallelism is what makes the
+comparison meaningful. Writes BENCH.md and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_single(cores: int, n_convs: int, root: str) -> dict:
+    """One measured run inside THIS process (invoked as a subprocess)."""
+    from sparkrec.datagen import gen_queries, transcripts_df
+    from sparkrec.operators.indexer import Index, IndexConfig, build_index
+    from sparkrec.operators.scorer import bm25_query_topk
+    from sparkrec.session import get_spark
+
+    spark = get_spark(
+        app_name=f"sparkrec-scaling-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=2 * cores,
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    t = transcripts_df(spark, n_convs).cache()
+    n_turns = t.count()
+
+    t0 = time.monotonic()
+    build_index(spark, t, root, IndexConfig(), overwrite=True)
+    build_sec = time.monotonic() - t0
+
+    idx = Index.load(spark, root)
+    idx.warm(spark)
+    qset = [
+        (r["query_id"], r["query_text"])
+        for _, r in gen_queries(n_convs).iterrows()
+    ]
+    t0 = time.monotonic()
+    rows = bm25_query_topk(
+        spark, idx, qset, 10, n_score_partitions=cores
+    ).collect()
+    query_sec = time.monotonic() - t0
+
+    digest = hashlib.md5(
+        json.dumps(
+            sorted(
+                (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 9))
+                for r in rows
+            )
+        ).encode()
+    ).hexdigest()
+
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_convs": n_convs,
+        "n_turns": n_turns,
+        "build_sec": round(build_sec, 3),
+        "build_turns_per_sec": round(n_turns / build_sec, 1),
+        "query_sec": round(query_sec, 3),
+        "queries_per_sec": round(len(qset) / query_sec, 2),
+        "result_rows": len(rows),
+        "result_digest": digest,
+    }
+
+
+def main(argv=None) -> dict | None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--low", type=int, default=8)
+    p.add_argument("--high", type=int, default=32)
+    p.add_argument("--n-convs", type=int, default=12000)
+    p.add_argument("--out-md", default=os.path.join(REPO, "BENCH.md"))
+    p.add_argument("--single", type=int, default=None,
+                   help="(internal) run one level in this process")
+    p.add_argument("--root", default="/tmp/sparkrec_scaling")
+    args = p.parse_args(argv)
+
+    if args.single is not None:
+        print("RESULT " + json.dumps(
+            run_single(args.single, args.n_convs, f"{args.root}_{args.single}")
+        ))
+        return None
+
+    results = {}
+    for cores in (args.low, args.high):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--single", str(cores), "--n-convs", str(args.n_convs),
+             "--root", args.root],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout + "\n" + proc.stderr)
+            raise RuntimeError(f"scaling run at {cores} cores failed")
+        results[cores] = json.loads(line[len("RESULT "):])
+
+    lo, hi = results[args.low], results[args.high]
+    ratio = args.high / args.low
+    eff_build = (hi["build_turns_per_sec"] / lo["build_turns_per_sec"]) / ratio
+    eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
+    identical = lo["result_digest"] == hi["result_digest"]
+
+    summary = {
+        "metric": "scaling efficiency local[%d] -> local[%d]" % (args.low, args.high),
+        "n_convs": args.n_convs,
+        "n_turns": lo["n_turns"],
+        "low": lo,
+        "high": hi,
+        "build_scaling_efficiency": round(eff_build, 3),
+        "query_scaling_efficiency": round(eff_query, 3),
+        "results_rank_identical_across_parallelism": identical,
+    }
+
+    md = f"""# BENCH — throughput & scaling evidence
+
+Generated by `python jobs/bench_scaling.py --low {args.low} --high {args.high} \
+--n-convs {args.n_convs}` (seed=42, identical input both runs, fresh JVM per
+level). Single-configuration per-round numbers live in `BENCH_r*.json`
+(driver-run `bench.py`).
+
+## Two-parallelism scaling (BASELINE.json north rule: efficiency ≥ 0.8 from N to 4N)
+
+| | local[{args.low}] | local[{args.high}] | efficiency |
+|---|---|---|---|
+| index build (turns/sec) | {lo['build_turns_per_sec']} | {hi['build_turns_per_sec']} | **{eff_build:.3f}** |
+| query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | **{eff_query:.3f}** |
+| build wall (sec, {lo['n_turns']} turns) | {lo['build_sec']} | {hi['build_sec']} | |
+| query wall (sec, 30 queries, k=10) | {lo['query_sec']} | {hi['query_sec']} | |
+
+Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
+
+**Rank identity across parallelism**: both levels produced byte-identical
+top-k (ids AND scores, md5 `{lo['result_digest'][:12]}…`):
+`{identical}`. Determinism is what makes the two runs comparable — scores
+are exact float64 BM25 folded in doc_id order inside the kernel,
+independent of partitioning (SURVEY.md §7 "exact rank-identity across
+parallelism levels").
+
+## Why this is evidence for the 1000-executor case
+
+- Every build stage is shuffle-parallel with bounded per-task state:
+  posting assembly groups are capped at `docs_per_shard` postings by the
+  df-aware salting rule, so the Zipf head spreads over
+  `df/docs_per_shard` tasks instead of one hot task (operators/indexer.py).
+- The only driver-side work is O(#buckets) offset computation and
+  O(#stages) table commits — independent of corpus size.
+- Queries prune by `term_bucket` partition + term predicate at the scan
+  and split scoring across doc-aligned ranges (`n_score_partitions`), so
+  query parallelism scales with cores while staying exact.
+"""
+    with open(args.out_md, "w") as f:
+        f.write(md)
+    print(json.dumps(summary))
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -66,7 +66,14 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 def ngrams_expr(toks, n: int):
     """Word n-grams of a token array as 'w1 w2 .. wn' strings, in order,
     duplicates kept (corpus-level n-gram mining needs occurrence counts —
-    the gensim Phrases pair counting at reference data_utils.py:819-864)."""
+    the gensim Phrases pair counting at reference data_utils.py:819-864).
+
+    ``toks`` MUST be a materialized array column (AttributeReference), not
+    a tokenizer expression: Catalyst re-evaluates a non-trivial lambda-
+    captured expression on every ``element_at`` access, turning an O(T)
+    gram build into O(T²) regexp work per row (measured 30× slowdown).
+    Project tokens into a column first, then call this.
+    """
     if n == 1:
         return toks
     # indices 1..size-n+1; ngram i = concat(toks[i..i+n-1]).
@@ -82,17 +89,24 @@ def ngrams_expr(toks, n: int):
     )
 
 
-def _shingles_expr(text_col, n: int):
-    """Distinct word n-gram shingles per doc (set semantics for Jaccard)."""
-    return F.array_distinct(ngrams_expr(sql_tokenize_expr(text_col), n))
+def _shingled(docs: DataFrame, n: int, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, shingles: array<string>) — tokens materialized into a real
+    column BEFORE the gram build (see ngrams_expr docstring)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        sql_tokenize_expr(F.col(text_col)).alias("_toks"),
+    )
+    return toks.select(
+        "doc_id",
+        F.array_distinct(ngrams_expr(F.col("_toks"), n)).alias("shingles"),
+    )
 
 
 def shingle_df(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """(doc_id, shingle) exploded distinct word-n-gram table."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_shingles_expr(F.col(text_col), n)).alias("shingle"),
+    return _shingled(docs, n, id_col, text_col).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -111,8 +125,13 @@ def ngram_jaccard_pairs(
     docs — those contribute pairs that will be found through their rarer
     shingles if truly similar, and are the quadratic-blowup source) →
     intersection counts by pair → Jaccard = i / (|A| + |B| - i).
+
+    The shingle table feeds four plan branches (sizes, df-prune, both
+    join sides); it is cached so tokenize+shingle runs once — the
+    in-memory equivalent of materializing the shingle table, which is
+    what you'd do at 100 TB (write it, read it thrice).
     """
-    sh = shingle_df(docs, n, id_col, text_col)
+    sh = shingle_df(docs, n, id_col, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
     sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -122,21 +141,25 @@ def ngram_jaccard_pairs(
 
     a = pruned.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = pruned.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # shuffle_hash: corpus-sized self-join — never broadcast (see
+    # lsh_candidate_pairs)
     inter = (
-        a.join(b, "shingle")
+        a.join(b.hint("shuffle_hash"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("isect"))
     )
     return (
         inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("set_size").alias("size_a")),
+            sizes.hint("shuffle_hash").select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("set_size").alias("size_a")),
             "doc_a",
         )
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("set_size").alias("size_b")),
+            sizes.hint("shuffle_hash").select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("set_size").alias("size_b")),
             "doc_b",
         )
         .withColumn(
@@ -153,34 +176,17 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+_MINHASH_P = np.uint64(4294967311)  # smallest prime > 2^32
+
+
 def _minhash_params(n_hashes: int, seed: int = 42):
+    """(a, b) with a < 2^31, b < P: a·x + b for x < 2^32 stays < 2^64, so
+    the whole permutation family runs in native uint64 — no object dtype,
+    no Python bignums."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_61, size=n_hashes, dtype=np.int64).astype(
-        np.uint64
-    )
-    b = rng.integers(0, MERSENNE_61, size=n_hashes, dtype=np.int64).astype(
-        np.uint64
-    )
+    a = rng.integers(1, 1 << 31, size=n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, 1 << 32, size=n_hashes, dtype=np.int64).astype(np.uint64)
     return a, b
-
-
-def _shingle_base_hash(shingles: pd.Series) -> list[np.ndarray]:
-    """Stable 64-bit FNV-1a per shingle string, vectorized per doc."""
-    out = []
-    for arr in shingles:
-        hs = np.fromiter(
-            (_fnv1a(s) for s in arr), dtype=np.uint64, count=len(arr)
-        )
-        out.append(hs)
-    return out
-
-
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for byte in s.encode("utf-8"):
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
 
 
 def minhash_signatures(
@@ -193,33 +199,50 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
-    Shingling is a Catalyst expression; the hash family
-    h_i(x) = (a_i·x + b_i) mod (2^61-1) is evaluated vectorized in numpy
-    over one Arrow batch per partition — (n_shingles × n_hashes) matrix
-    min-reduced per doc, no per-row Python, no shuffle at all (map-only).
+    Shingling AND base hashing are Catalyst expressions (``xxhash64`` per
+    shingle, JVM-side, codegen'd); the Arrow batch hands numpy int64
+    arrays, never strings. The permutation family
+    h_i(x) = (a_i·x32 + b_i) mod P (P prime > 2^32, x32 = low 32 hash
+    bits) is evaluated as one (total_shingles × n_hashes) uint64 matrix
+    per chunk with ``np.minimum.reduceat`` folding per-doc minima — no
+    per-row Python, no shuffle at all (map-only). Chunks cap peak memory
+    at ~n_hashes·2^18·8B regardless of batch size.
     """
     a, b = _minhash_params(n_hashes, seed)
-    shingled = docs.select(
-        F.col(id_col).alias("doc_id"),
-        _shingles_expr(F.col(text_col), shingle_n).alias("shingles"),
+    shingled = _shingled(docs, shingle_n, id_col, text_col).select(
+        "doc_id",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashes"),
     )
+    chunk_budget = 1 << 18  # shingle rows per matrix chunk
 
     def sign(batches):
         for pdf in batches:
-            base = _shingle_base_hash(pdf["shingles"])
-            sigs = []
-            for hs in base:
-                if len(hs) == 0:
-                    sigs.append(np.full(n_hashes, MERSENNE_61, dtype=np.int64))
-                    continue
-                # (n_shingles, n_hashes) — mod 2^61-1 after 128-bit-safe mult
-                prod = (
-                    hs[:, None].astype(object) * a[None, :].astype(object)
-                    + b[None, :].astype(object)
-                ) % MERSENNE_61
-                sigs.append(prod.min(axis=0).astype(np.int64))
+            hash_lists = [
+                np.asarray(h, dtype=np.int64).astype(np.uint64) & np.uint64(0xFFFFFFFF)
+                for h in pdf["sh_hashes"]
+            ]
+            n_docs_b = len(hash_lists)
+            sigs = np.full((n_docs_b, n_hashes), np.iinfo(np.int64).max,
+                           dtype=np.uint64)
+            i = 0
+            while i < n_docs_b:
+                j, total = i, 0
+                while j < n_docs_b and (total == 0 or total + len(hash_lists[j]) <= chunk_budget):
+                    total += len(hash_lists[j])
+                    j += 1
+                lens = np.array([len(hash_lists[d]) for d in range(i, j)])
+                nonempty = np.flatnonzero(lens)
+                if len(nonempty):
+                    flat = np.concatenate([hash_lists[i + d] for d in nonempty])
+                    mat = (flat[:, None] * a[None, :] + b[None, :]) % _MINHASH_P
+                    starts = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+                    sigs[i + nonempty] = np.minimum.reduceat(mat, starts, axis=0)
+                i = j
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sig": [list(map(int, s)) for s in sigs]}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": list(sigs.astype(np.int64)),
+                }
             )
 
     return shingled.mapInPandas(sign, schema="doc_id long, sig array<long>")
@@ -236,6 +259,8 @@ def lsh_candidate_pairs(
     """
     sig_len = F.size("sig")
     rows_per_band = (sig_len / n_bands).cast("int")
+    # cached: both sides of the bucket self-join read this table — without
+    # the cache the (expensive) signature computation runs twice
     bands = signatures.select(
         "doc_id",
         F.explode(
@@ -249,11 +274,15 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "bb.band", "bb.bucket").cache()
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    # shuffle_hash: the self-join sides scale with the corpus — Spark's
+    # byte-stats would auto-broadcast them at test scale, which (a) OOMs
+    # at real scale and (b) serialises the expensive signature compute
+    # into the single-threaded broadcast-exchange path
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -278,25 +307,34 @@ def minhash_dedup_pairs(
     candidates, not corpus²).
     """
     sigs = minhash_signatures(docs, n_hashes, shingle_n, seed, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, n_bands)
+    cands = lsh_candidate_pairs(sigs, n_bands).cache()
+    # materialize NOW, with a normal parallel job: `cands` is consumed via
+    # broadcast below, and a lazy broadcast subquery executes its whole
+    # child DAG (signature UDF included) single-threaded inside the
+    # broadcast-exchange thread — measured 32 s single-task vs 3 s wide
+    cands.count()
 
-    sh = shingle_df(docs, shingle_n, id_col, text_col)
+    # cached: feeds sizes + both sides of the verify join (see
+    # ngram_jaccard_pairs for the rationale)
+    sh = shingle_df(docs, shingle_n, id_col, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(F.broadcast(cands), "doc_a")
-        .join(b, ["shingle", "doc_b"])
+        .join(b.hint("shuffle_hash"), ["shingle", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("isect"))
     )
     return (
         inter.join(
-            sizes.select(F.col("doc_id").alias("doc_a"),
-                         F.col("set_size").alias("size_a")), "doc_a")
+            sizes.hint("shuffle_hash").select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("set_size").alias("size_a")), "doc_a")
         .join(
-            sizes.select(F.col("doc_id").alias("doc_b"),
-                         F.col("set_size").alias("size_b")), "doc_b")
+            sizes.hint("shuffle_hash").select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("set_size").alias("size_b")), "doc_b")
         .withColumn(
             "jaccard",
             F.col("isect").cast("double")
@@ -316,37 +354,35 @@ def simhash_signatures(
 ) -> DataFrame:
     """(doc_id, simhash: bigint) 64-bit SimHash over token xxhash64 bits.
 
-    Pure Catalyst: per token the 64 hash bits vote ±tf; signature bit j is
-    the sign of the vote sum. Expressed as an aggregate over a 64-element
-    sequence — no Python, map-side only.
+    Pure Catalyst: per token occurrence the 64 hash bits vote ±1 (so a
+    term with frequency tf votes ±tf overall); signature bit j is the
+    sign of the vote sum. One shuffle, 64 codegen'd SUM aggregates.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(sql_tokenize_expr(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
     h = F.xxhash64("term")
-    # bit j's vote: +tf if hash bit j set, else -tf (j is a Python int —
-    # the 64 expressions are unrolled into one array literal)
-    bits = F.array(
-        *[
-            F.when(
-                h.bitwiseAND(F.lit(_signed64(1 << j))) != 0, F.col("tf")
-            ).otherwise(-F.col("tf"))
-            for j in range(64)
-        ]
-    )
-    # posexplode keeps aggregation state O(1) per (doc, bit) — a doc with
-    # millions of distinct terms never builds driver-sized buffers.
-    votes = tf.select("doc_id", F.posexplode(bits).alias("j", "vote"))
-    summed = votes.groupBy("doc_id", "j").agg(F.sum("vote").alias("vote_sum"))
-    powers = F.array(*[F.lit(_signed64(1 << j)).cast("long") for j in range(64)])
-    sig_bit = F.when(
-        F.col("vote_sum") > 0, F.element_at(powers, F.col("j").cast("int") + 1)
-    ).otherwise(F.lit(0).cast("long"))
-    return summed.groupBy("doc_id").agg(F.bit_or(sig_bit).alias("simhash"))
+    # bit j's vote: +1 per occurrence if hash bit j set, else -1. The 64
+    # votes are 64 parallel SUM aggregates over the exploded token rows —
+    # ONE shuffle keyed by doc_id, map-side partial aggregation, O(64)
+    # state per group. (The alternative posexplode formulation is a 64×
+    # row blowup plus a second shuffle.)
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(_signed64(1 << j))) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    summed = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for j in range(64):
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.lit(_signed64(1 << j)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return summed.select("doc_id", sig.alias("simhash"))
 
 
 def _signed64(v: int) -> int:
@@ -380,7 +416,8 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket").cache()
+    # cached: self-joined below (same rationale as lsh_candidate_pairs)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
         "band", "bucket",
@@ -390,8 +427,10 @@ def simhash_near_pairs(
         "band", "bucket",
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    # shuffle_hash: corpus-sized self-join — never broadcast (see
+    # lsh_candidate_pairs)
     return (
-        a.join(b, ["band", "bucket"])
+        a.join(b.hint("shuffle_hash"), ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", ham.alias("hamming"))
         .distinct()

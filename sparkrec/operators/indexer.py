@@ -285,11 +285,33 @@ class Index:
             block_range=int(stats["block_range"]),
         )
 
+    _lexicon_cached: DataFrame | None = None
+    _postings_cached: DataFrame | None = None
+
     def postings(self, spark: SparkSession) -> DataFrame:
+        if self._postings_cached is not None:
+            return self._postings_cached
         return read_table(spark, self.root, "postings")
 
     def lexicon(self, spark: SparkSession) -> DataFrame:
+        if self._lexicon_cached is not None:
+            return self._lexicon_cached
         return read_table(spark, self.root, "lexicon")
+
+    def warm(self, spark: SparkSession, postings: bool = True) -> "Index":
+        """Pin serving tables in executor memory (the search-server warm-up:
+        a production index is resident, not re-decoded from parquet per
+        query). Lexicon always; postings optionally — at the 100 TB tier
+        you warm the lexicon plus the hot posting buckets and let
+        MEMORY_AND_DISK spill the cold tail."""
+        lex = read_table(spark, self.root, "lexicon").cache()
+        lex.count()
+        self._lexicon_cached = lex
+        if postings:
+            post = read_table(spark, self.root, "postings").cache()
+            post.count()
+            self._postings_cached = post
+        return self
 
     def docs(self, spark: SparkSession) -> DataFrame:
         return read_table(spark, self.root, "docs")

@@ -28,7 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparkrec.operators.bm25 import query_terms_df
 from sparkrec.operators.codec import bm25_weight, decode_postings_many
 from sparkrec.operators.indexer import Index
 
@@ -133,40 +132,61 @@ def bm25_query_topk(
     k: int,
     min_token_len: int = 2,
     remove_numeric: bool = True,
+    n_score_partitions: int | None = None,
 ) -> DataFrame:
     """Batch top-k for a list of (query_id, text) against a built index.
 
-    Plan: driver-side query tokenization (queries are tiny) → lexicon
-    lookup filtered by term (+ its term_bucket for partition pruning) →
-    partition-pruned posting-block scan → one ``applyInPandas`` group per
-    query running the exact WAND kernel → (query_id, rank, doc_id, score).
+    Plan: driver-side query tokenization (queries are tiny, no Spark job)
+    → lexicon lookup filtered by term (+ its term_bucket for partition
+    pruning) → partition-pruned posting-block scan → ``applyInPandas``
+    groups running the exact WAND kernel → (query_id, rank, doc_id, score).
+
+    ``n_score_partitions`` controls intra-query scoring parallelism: by
+    default each query is ONE kernel group (lowest overhead, maximal WAND
+    pruning — right for interactive latency at moderate posting volume).
+    With P > 1 the doc-id space is split into P aligned ranges scored in
+    parallel (blocks are doc-aligned across terms, so every range is
+    score-complete); per-range top-k candidates are then merged by a
+    global window. Exactness is unaffected — only the shared θ threshold
+    is weaker, trading some pruning for P-way parallelism on hot terms.
+    At the 100 TB tier P ≈ number of executor cores is the right setting
+    for fat analytical queries; interactive point queries keep P = 1.
     """
-    qterms = query_terms_df(
-        spark, queries, min_token_len=min_token_len, remove_numeric=remove_numeric
-    )
-    terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    # Driver-side tokenization of the (tiny) query set — the same clean
+    # semantics as the corpus pipeline; avoids a Spark job per lookup.
+    from collections import Counter
+
+    from sparkrec.functions.textprep import py_tokenize
+
+    qrows: list[tuple[str, str, int]] = []
+    for qid, qtext in queries:
+        toks = py_tokenize(
+            qtext, min_token_len=min_token_len, remove_numeric=remove_numeric
+        )
+        for t, c in sorted(Counter(toks).items()):
+            qrows.append((qid, t, c))
+    terms = sorted({t for _, t, _ in qrows})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    lex = (
+    lex_rows = (
         index.lexicon(spark)
         .filter(F.col("term").isin(terms))
         .select("term", "idf", "term_bucket")
+        .collect()
     )
-    lex_rows = lex.collect()
     buckets = sorted({r["term_bucket"] for r in lex_rows})
-    live_terms = [r["term"] for r in lex_rows]
+    idf_map = {r["term"]: float(r["idf"]) for r in lex_rows}
+    live_terms = sorted(idf_map)
     if not live_terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
     blocks = index.postings(spark).filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(live_terms)
     )
-    q_with_idf = qterms.join(
-        spark.createDataFrame(
-            [(r["term"], r["idf"]) for r in lex_rows], "term string, idf double"
-        ),
-        "term",
+    q_with_idf = spark.createDataFrame(
+        [(qid, t, qtf, idf_map[t]) for qid, t, qtf in qrows if t in idf_map],
+        "query_id string, term string, qtf int, idf double",
     )
     joined = blocks.join(F.broadcast(q_with_idf), "term").select(
         "query_id", "term", "qtf", "idf", "block_id", "max_weight",
@@ -175,7 +195,7 @@ def bm25_query_topk(
 
     avgdl, k1, b = index.avgdl, index.k1, index.b
 
-    def score_one(pdf: pd.DataFrame) -> pd.DataFrame:
+    def score_group(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["query_id"].iloc[0]
         meta = {}
         for t, idf, qtf in zip(pdf["term"], pdf["idf"], pdf["qtf"]):
@@ -190,4 +210,26 @@ def bm25_query_topk(
             }
         )
 
-    return joined.groupBy("query_id").applyInPandas(score_one, schema=TOPK_SCHEMA)
+    if not n_score_partitions or n_score_partitions <= 1:
+        return joined.groupBy("query_id").applyInPandas(
+            score_group, schema=TOPK_SCHEMA
+        )
+
+    # parallel mode: doc-aligned range split → per-range exact top-k →
+    # global merge (re-rank) per query
+    max_block = max(1, index.n_docs // index.block_range)
+    blocks_per_part = max(1, (max_block + n_score_partitions) // n_score_partitions)
+    ranged = joined.withColumn(
+        "_range", (F.col("block_id") / F.lit(blocks_per_part)).cast("long")
+    )
+    partial = ranged.groupBy("query_id", "_range").applyInPandas(
+        score_group, schema=TOPK_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )

@@ -21,10 +21,13 @@ from sparkrec.sources.tables import table_exists
 class MetricsLog:
     """Append-only stage metrics; persisted as <root>/_manifest.json."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, collector=None):
         self.root = root
         self.path = os.path.join(root, "_manifest.json")
         self.stages: list[dict] = []
+        # optional plans.lineage.RestCollector — adds per-stage shuffle /
+        # input / output byte deltas to every record
+        self.collector = collector
         if os.path.exists(self.path):
             with open(self.path) as f:
                 self.stages = json.load(f).get("stages", [])
@@ -33,6 +36,8 @@ class MetricsLog:
         entry = {"stage": stage, "status": status, "wall_sec": round(wall_sec, 3)}
         if extra:
             entry.update(extra)
+        if self.collector is not None:
+            entry.update(self.collector.diff())
         self.stages.append(entry)
         os.makedirs(self.root, exist_ok=True)
         with open(self.path, "w") as f:

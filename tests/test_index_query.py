@@ -130,6 +130,27 @@ def test_wand_matches_exhaustive_and_oracle(spark, index, oracle, queries_pdf):
     assert checked >= 20
 
 
+def test_parallel_scoring_matches_single_group(spark, index, queries_pdf):
+    """Doc-range-parallel WAND (P>1) is exact: identical ids AND scores to
+    the one-group-per-query path, and to it again after warm() pins the
+    serving tables in memory."""
+    queries = list(zip(queries_pdf["query_id"], queries_pdf["query_text"]))[:8]
+    k = 10
+    single = bm25_query_topk(spark, index, queries, k=k).collect()
+
+    def keyed(rows):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], r["score"]) for r in rows
+        }
+
+    par = bm25_query_topk(spark, index, queries, k=k, n_score_partitions=4)
+    assert keyed(par.collect()) == keyed(single)
+
+    index.warm(spark)
+    warm = bm25_query_topk(spark, index, queries, k=k)
+    assert keyed(warm.collect()) == keyed(single)
+
+
 def test_resume_skips_completed_stages(spark, transcripts, index_root):
     """Re-running build_index against an existing root is a no-op: every
     stage is skipped (memoize-on-existence, conftest.py:27-29 pattern)."""
