@@ -123,13 +123,16 @@ def gen_transcripts_pdf(n_convs: int, base_seed: int = SEED) -> pd.DataFrame:
 
 
 def transcripts_df(
-    spark: SparkSession, n_convs: int, base_seed: int = SEED, partitions: int | None = None
+    spark: SparkSession, n_convs: int, base_seed: int = SEED,
+    partitions: int | None = None, conv_start: int = 0,
 ) -> DataFrame:
     """Distributed generation: one task per range slice of conv indexes.
 
     ``mapInPandas`` over ``spark.range`` — the generator is seeded per
     conversation so the result is identical at any parallelism level
-    (the scaling-efficiency bench depends on this).
+    (the scaling-efficiency bench depends on this). ``conv_start`` shifts
+    the conv-index range: disjoint ranges yield disjoint conversation
+    sets (streaming-ingest batches).
     """
     partitions = partitions or spark.sparkContext.defaultParallelism
 
@@ -141,7 +144,7 @@ def transcripts_df(
                 yield out.sample(frac=1.0, random_state=base_seed).reset_index(drop=True)
 
     return (
-        spark.range(0, n_convs, numPartitions=partitions)
+        spark.range(conv_start, conv_start + n_convs, numPartitions=partitions)
         .mapInPandas(gen, schema=TRANSCRIPTS_SCHEMA)
     )
 

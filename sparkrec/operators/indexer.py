@@ -53,7 +53,8 @@ from sparkrec.sources.tables import read_table, table_exists, write_table
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id long, n int, doc_lo long, doc_hi long, "
-    "max_tf int, max_weight double, docs_enc binary, tfs_enc binary, dls_enc binary"
+    "max_tf int, min_dl int, max_weight double, "
+    "docs_enc binary, tfs_enc binary, dls_enc binary"
 )
 
 
@@ -139,6 +140,13 @@ def encode_postings(
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
             max_w = np.maximum.reduceat(w, starts)
             max_tf = np.maximum.reduceat(flat_tf, starts)
+            # min_dl makes the block upper bound recomputable under a LATER
+            # avgdl: bm25_weight is ↑ in tf and ↓ in dl, so
+            # f(max_tf, min_dl, avgdl_now) ≥ f(tf_i, dl_i, avgdl_now) for
+            # every posting — the WAND bound stays safe after incremental
+            # merges shift corpus stats (streaming/ingest.py), unlike the
+            # build-time max_weight which bakes the old avgdl in.
+            min_dl = np.minimum.reduceat(flat_dl, starts)
             yield pd.DataFrame(
                 {
                     "term": terms,
@@ -148,6 +156,7 @@ def encode_postings(
                     "doc_lo": np.array([int(x[0]) for x in doc_lists], dtype=np.int64),
                     "doc_hi": np.array([int(x[-1]) for x in doc_lists], dtype=np.int64),
                     "max_tf": max_tf.astype(np.int32),
+                    "min_dl": min_dl.astype(np.int32),
                     "max_weight": max_w,
                     "docs_enc": docs_enc,
                     "tfs_enc": tfs_enc,
@@ -223,11 +232,20 @@ def build_index_from_docs(
 
     with Stage("stats", index_root, overwrite, metrics) as st:
         if st.needed:
-            n_docs, avgdl = corpus_stats(docs)
+            row = docs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("doc_len").cast("long").alias("total"),
+            ).collect()[0]
+            n_docs, total_len = int(row["n"]), int(row["total"] or 0)
+            # avgdl derived from exact longs: an incremental merge that
+            # adds (n', total') reproduces the identical double — scores
+            # after a merge match a from-scratch rebuild bit-for-bit
+            avgdl = total_len / n_docs if n_docs else 0.0
             write_table(
                 spark.createDataFrame(
-                    [(n_docs, avgdl, cfg.k1, cfg.b, cfg.block_range)],
-                    "n_docs long, avgdl double, k1 double, b double, block_range int",
+                    [(n_docs, total_len, avgdl, cfg.k1, cfg.b, cfg.block_range)],
+                    "n_docs long, total_len long, avgdl double, "
+                    "k1 double, b double, block_range int",
                 ),
                 index_root,
                 "stats",
@@ -268,6 +286,7 @@ def build_index_from_docs(
 class Index:
     root: str
     n_docs: int
+    total_len: int
     avgdl: float
     k1: float
     b: float
@@ -279,6 +298,7 @@ class Index:
         return cls(
             root=root,
             n_docs=int(stats["n_docs"]),
+            total_len=int(stats["total_len"]),
             avgdl=float(stats["avgdl"]),
             k1=float(stats["k1"]),
             b=float(stats["b"]),

@@ -44,9 +44,15 @@ def wand_topk(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact top-k over one query's posting blocks.
 
-    ``blocks``: columns term, block_id, max_weight, docs_enc, tfs_enc,
+    ``blocks``: columns term, block_id, max_tf, min_dl, docs_enc, tfs_enc,
     dls_enc (all blocks of all query terms). ``term_meta``: term →
     (idf, qtf). Returns (doc_ids, scores) sorted (score desc, doc_id asc).
+
+    The per-block upper bound is computed HERE from (max_tf, min_dl) and
+    the *current* corpus avgdl — bm25_weight is monotone ↑ in tf, ↓ in
+    dl, so f(max_tf, min_dl) dominates every posting in the block. Unlike
+    a build-time max_weight, this bound stays safe after incremental
+    merges move avgdl (streaming/ingest.py).
     """
     if len(blocks) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
@@ -55,7 +61,12 @@ def wand_topk(
         [term_meta[t][0] * term_meta[t][1] for t in blocks["term"]], dtype=np.float64
     )
     gids = blocks["block_id"].to_numpy(dtype=np.int64)
-    ub_contrib = factor * blocks["max_weight"].to_numpy(dtype=np.float64)
+    ub_weight = bm25_weight(
+        blocks["max_tf"].to_numpy(dtype=np.int64),
+        blocks["min_dl"].to_numpy(dtype=np.int64),
+        avgdl, k1, b,
+    )
+    ub_contrib = factor * ub_weight
 
     # per-segment upper bounds
     seg_ids, seg_inv = np.unique(gids, return_inverse=True)
@@ -189,7 +200,7 @@ def bm25_query_topk(
         "query_id string, term string, qtf int, idf double",
     )
     joined = blocks.join(F.broadcast(q_with_idf), "term").select(
-        "query_id", "term", "qtf", "idf", "block_id", "max_weight",
+        "query_id", "term", "qtf", "idf", "block_id", "max_tf", "min_dl",
         "docs_enc", "tfs_enc", "dls_enc",
     )
 
