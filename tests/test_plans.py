@@ -1,0 +1,122 @@
+"""Physical-plan regression tests (SURVEY.md §4): the optimizations the
+engine depends on must be visible in `.explain` output, not assumed.
+
+- postings fetch: partition pruning on term_bucket + term predicate
+  pushed into the parquet scan (a query touches only its terms' buckets);
+- BM25 scoring joins: broadcast hash join for the tiny query side, never
+  a sort-merge join or cartesian product;
+- aggregations: partial (map-side) aggregation before the shuffle;
+- Python boundary: ONLY Arrow-vectorized operators (MapInPandas /
+  FlatMapGroupsInPandas); a per-row BatchEvalPython anywhere is a bug
+  (BASELINE.json input_hint: no per-row Python).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkrec.operators.bm25 import (
+    bm25_topk, corpus_stats, doc_freqs, query_terms_df, term_freqs,
+    tokenize_docs,
+)
+from sparkrec.operators.docs import assemble_docs, assign_doc_ids
+from sparkrec.operators.indexer import Index, IndexConfig, build_index
+from sparkrec.operators.scorer import bm25_query_topk
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, transcripts, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("planidx"))
+    build_index(
+        spark, transcripts, root,
+        IndexConfig(block_range=16, docs_per_shard=64, n_term_buckets=4),
+    )
+    return Index.load(spark, root)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, transcripts):
+    return tokenize_docs(assign_doc_ids(assemble_docs(transcripts))).cache()
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term_filter(spark, index):
+    out = bm25_query_topk(spark, index, [("q", "term0001 term0007")], 5)
+    p = plan(out)
+    # partition pruning: term_bucket is a partition column of the postings
+    # table; the query's bucket set must appear as a partition filter
+    assert "PartitionFilters" in p and "term_bucket" in p
+    # term equality/in-set predicate pushed into the parquet reader
+    assert "PushedFilters" in p
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("term" in l and "[]" not in l.split("PushedFilters")[1][:4]
+               for l in pushed), pushed
+
+
+def test_bm25_join_is_broadcast_not_smj(spark, docs):
+    tf = term_freqs(docs)
+    n, avgdl = corpus_stats(docs)
+    q = query_terms_df(spark, [("q", "term0001 term0007")])
+    out = bm25_topk(tf, doc_freqs(tf), n, avgdl, q, k=5)
+    p = plan(out)
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    # the big tf side must stream against the broadcast — no shuffle of tf
+    # for the join itself (the only exchanges are the aggregations')
+    assert "SortMergeJoin" not in p
+
+
+def test_aggregations_are_partial_then_final(spark, docs):
+    p = plan(term_freqs(docs))
+    assert "partial_count" in p  # map-side combine before the exchange
+    assert p.count("HashAggregate") >= 2
+
+
+def test_no_per_row_python_anywhere(spark, index, docs):
+    tf = term_freqs(docs)
+    n, avgdl = corpus_stats(docs)
+    q = query_terms_df(spark, [("q", "term0001")])
+    plans = [
+        plan(bm25_query_topk(spark, index, [("q", "term0001")], 5)),
+        plan(bm25_topk(tf, doc_freqs(tf), n, avgdl, q, k=5)),
+        plan(docs.select("tokens")),
+    ]
+    for p in plans:
+        assert "BatchEvalPython" not in p, "per-row Python UDF in hot path"
+
+
+def test_tokenize_stays_whole_stage_codegen(spark):
+    """The clean/tokenize projection is pure Catalyst — over a columnar
+    scan it must run inside a WholeStageCodegen span, never as a Python
+    eval node. (After doc assembly it fuses into the collect_list
+    ObjectHashAggregate's result projection instead — equally JVM-side,
+    but codegen-exempt by design, so the probe uses a plain scan.)"""
+    from sparkrec.functions.textprep import tokenize_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan(docs.select(F.size(tokenize_expr(F.col("text"))).alias("n")))
+    # the scan side is codegen'd; the higher-order filter() lambda is
+    # JVM interpreted-eval (HOFs are codegen-exempt in Spark) — the
+    # invariant that matters is zero Python eval nodes
+    assert "codegen id" in p
+    assert "EvalPython" not in p
+
+
+def test_assembly_orders_inside_aggregation_no_global_sort(spark):
+    """Doc assembly sorts turns INSIDE each group's aggregation buffer
+    (array_sort over collect_list) — the plan must contain no Sort node
+    and exactly one exchange (the groupBy conv_id shuffle)."""
+    from sparkrec.datagen import transcripts_df
+
+    t = transcripts_df(spark, 30)  # fresh source: no fixture repartition
+    p = plan(assemble_docs(t).select("conv_id", "text"), "simple")
+    assert "+- Sort" not in p and "SortAggregate" not in p
+    assert p.count("Exchange") == 1
