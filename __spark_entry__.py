@@ -209,6 +209,62 @@ def q_bigram_counts(spark, sf_dir):
     )
 
 
+PHRASE_MIN_COUNT = 20
+PHRASE_THRESHOLD = 1e-4
+
+
+def _promoted_phrases(spark, sf_dir):
+    from sparkrec.operators.phrases import mine_bigrams
+
+    return mine_bigrams(
+        _doc_tokens(spark, sf_dir),
+        min_count=PHRASE_MIN_COUNT,
+        threshold=PHRASE_THRESHOLD,
+    )
+
+
+def q_phrase_mine(spark, sf_dir):
+    return _promoted_phrases(spark, sf_dir)
+
+
+def q_phrase_rewrite(spark, sf_dir):
+    from sparkrec.operators.phrases import rewrite_with_phrases
+
+    toks = _doc_tokens(spark, sf_dir)
+    out = rewrite_with_phrases(toks, _promoted_phrases(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.size("tokens").alias("total_len"),
+        F.array_join(
+            F.filter("tokens", lambda t: t.contains("_")), ","
+        ).alias("phrases"),
+    )
+
+
+def q_events_daily(spark, sf_dir):
+    events = _read_wide(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("double")), 6
+        ).alias("avg_k"),
+    )
+
+
+def q_sample_deterministic(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .orderBy("h", "doc_id")
+        .limit(50)
+    )
+
+
 def q_exact_dup_groups(spark, sf_dir):
     from sparkrec.operators.dedup import exact_dup_groups
 
@@ -372,6 +428,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_wand_topk": q_bm25_wand_topk,
         "multi_input_fold": q_multi_input_fold,
         "bigram_counts": q_bigram_counts,
+        "phrase_mine": q_phrase_mine,
+        "phrase_rewrite": q_phrase_rewrite,
+        "events_daily": q_events_daily,
+        "sample_deterministic": q_sample_deterministic,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -492,6 +552,49 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE isect::DOUBLE / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}"""
 
+    phrase_ctes = f"""{_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS p FROM toks),
+pr AS (SELECT doc_id, p, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+              AS phrase FROM pos),
+pc AS (SELECT phrase, count(*) AS cnt FROM pr WHERE phrase IS NOT NULL
+       GROUP BY phrase),
+uni AS (SELECT tok, count(*) AS ucnt FROM pos GROUP BY tok),
+v AS (SELECT count(*)::DOUBLE AS vocab FROM uni),
+promoted AS (
+  SELECT pc.phrase, pc.cnt,
+         round((pc.cnt - {PHRASE_MIN_COUNT})::DOUBLE * v.vocab
+               / (ua.ucnt * ub.ucnt), 6) AS score
+  FROM pc
+  JOIN uni ua ON ua.tok = string_split(pc.phrase, ' ')[1]
+  JOIN uni ub ON ub.tok = string_split(pc.phrase, ' ')[2]
+  CROSS JOIN v
+  WHERE pc.cnt >= {PHRASE_MIN_COUNT}
+    AND (pc.cnt - {PHRASE_MIN_COUNT})::DOUBLE * v.vocab
+        / (ua.ucnt * ub.ucnt) >= {PHRASE_THRESHOLD})"""
+
+    phrase_mine = f"WITH {phrase_ctes} SELECT phrase, cnt, score FROM promoted"
+
+    phrase_rewrite = f"""WITH {phrase_ctes},
+matched AS (
+  SELECT pr.doc_id,
+         list_sort(list(replace(pr.phrase, ' ', '_'))) AS phrases
+  FROM pr JOIN promoted USING (phrase)
+  GROUP BY pr.doc_id)
+SELECT t.doc_id,
+       (len(t.tokens) + coalesce(len(m.phrases), 0))::INTEGER AS total_len,
+       coalesce(array_to_string(m.phrases, ','), '') AS phrases
+FROM toks t LEFT JOIN matched m ON m.doc_id = t.doc_id"""
+
+    events_daily = """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+  event_type, count(*) AS n,
+  round(avg(value), 6) AS avg_value,
+  round(avg(json_extract(props, '$.k')::DOUBLE), 6) AS avg_k
+FROM events GROUP BY 1, 2"""
+
+    sample_det = """SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+ORDER BY h, doc_id LIMIT 50"""
+
     hits = {
         lang: f"len(list_filter(tokens, t -> list_contains({_sw_list(lang)}, t)))"
         for lang in LANG_STOPWORDS
@@ -575,6 +678,10 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "bm25_wand_topk": bm25_single,
         "multi_input_fold": fold,
         "bigram_counts": bigrams,
+        "phrase_mine": phrase_mine,
+        "phrase_rewrite": phrase_rewrite,
+        "events_daily": events_daily,
+        "sample_deterministic": sample_det,
         "exact_dup_groups": """SELECT md5(text) AS text_md5, count(*) AS n_dups,
  min(doc_id) AS keeper FROM documents GROUP BY md5(text)""",
         "ngram_jaccard": jaccard,

@@ -31,8 +31,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_single(cores: int, n_convs: int, root: str) -> dict:
-    """One measured run inside THIS process (invoked as a subprocess)."""
+def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
+    """One measured configuration inside THIS process (invoked as a
+    subprocess). ``trials`` repeats build+query and keeps the fastest —
+    the box is shared, so best-of-N is the steady-state estimate."""
     from sparkrec.datagen import gen_queries, transcripts_df
     from sparkrec.operators.indexer import Index, IndexConfig, build_index
     from sparkrec.operators.scorer import bm25_query_topk
@@ -43,14 +45,16 @@ def run_single(cores: int, n_convs: int, root: str) -> dict:
         master=f"local[{cores}]",
         shuffle_partitions=2 * cores,
     )
-    shutil.rmtree(root, ignore_errors=True)
 
     t = transcripts_df(spark, n_convs).cache()
     n_turns = t.count()
 
-    t0 = time.monotonic()
-    build_index(spark, t, root, IndexConfig(), overwrite=True)
-    build_sec = time.monotonic() - t0
+    build_sec = float("inf")
+    for _ in range(trials):
+        shutil.rmtree(root, ignore_errors=True)
+        t0 = time.monotonic()
+        build_index(spark, t, root, IndexConfig(), overwrite=True)
+        build_sec = min(build_sec, time.monotonic() - t0)
 
     idx = Index.load(spark, root)
     idx.warm(spark)
@@ -69,9 +73,11 @@ def run_single(cores: int, n_convs: int, root: str) -> dict:
         for rep in range(10)
         for qid, qtext in fixture
     ]
-    t0 = time.monotonic()
-    rows = bm25_query_topk(spark, idx, qset, 10).collect()
-    query_sec = time.monotonic() - t0
+    query_sec = float("inf")
+    for _ in range(trials):
+        t0 = time.monotonic()
+        rows = bm25_query_topk(spark, idx, qset, 10).collect()
+        query_sec = min(query_sec, time.monotonic() - t0)
 
     digest = hashlib.md5(
         json.dumps(
@@ -104,12 +110,15 @@ def main(argv=None) -> dict | None:
     p.add_argument("--out-md", default=os.path.join(REPO, "BENCH.md"))
     p.add_argument("--single", type=int, default=None,
                    help="(internal) run one level in this process")
+    p.add_argument("--trials", type=int, default=2,
+                   help="best-of-N per level (shared-box noise control)")
     p.add_argument("--root", default="/tmp/sparkrec_scaling")
     args = p.parse_args(argv)
 
     if args.single is not None:
         print("RESULT " + json.dumps(
-            run_single(args.single, args.n_convs, f"{args.root}_{args.single}")
+            run_single(args.single, args.n_convs,
+                       f"{args.root}_{args.single}", args.trials)
         ))
         return None
 
@@ -119,7 +128,7 @@ def main(argv=None) -> dict | None:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--single", str(cores), "--n-convs", str(args.n_convs),
-             "--root", args.root],
+             "--root", args.root, "--trials", str(args.trials)],
             capture_output=True, text=True, env=env, cwd=REPO,
         )
         line = next(

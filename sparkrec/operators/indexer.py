@@ -254,7 +254,14 @@ def build_index_from_docs(
     stats = read_table(spark, index_root, "stats").collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
-    tf = term_freqs(docs)
+    # TF feeds BOTH the lexicon aggregation and the posting assembly —
+    # persist it across the two stages so the explode + shuffle runs once
+    # (MEMORY_AND_DISK: spills instead of OOM when the term table exceeds
+    # executor memory; at the 100 TB tier this is where you would write
+    # an intermediate tf table instead)
+    from pyspark import StorageLevel
+
+    tf = term_freqs(docs).persist(StorageLevel.MEMORY_AND_DISK)
 
     with Stage("lexicon", index_root, overwrite, metrics) as st:
         if st.needed:
@@ -280,6 +287,7 @@ def build_index_from_docs(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
             write_table(enc, index_root, "postings", partition_by=["term_bucket"])
+    tf.unpersist()
 
 
 @dataclass

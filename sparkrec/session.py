@@ -40,6 +40,15 @@ def get_spark(
             pkg_root + (os.pathsep + pypath if pypath else "")
         )
 
+    # One BLAS/OMP thread per Python worker: Spark already runs one worker
+    # per core, so intra-op threading oversubscribes CPUs N×N and thrashes
+    # (measured: identical work cost 6× more core-time at local[32] with
+    # unpinned OpenBLAS). Workers inherit the driver env in local mode;
+    # executorEnv covers real clusters.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "NUMEXPR_NUM_THREADS", "VECLIB_MAXIMUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = SparkSession.builder.appName(app_name).master(master)
 
     if shuffle_partitions is None:
@@ -58,6 +67,9 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARKREC_DRIVER_MEM", "8g"),
         "spark.ui.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.executorEnv.OMP_NUM_THREADS": "1",
+        "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+        "spark.executorEnv.MKL_NUM_THREADS": "1",
     }
     if extra_conf:
         conf.update(extra_conf)
