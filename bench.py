@@ -83,7 +83,8 @@ def main() -> None:
     extra["turns_indexed"] = n_turns
     extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
     for s in metrics.stages:
-        timings[f"index_stage_{s['stage']}"] = s["wall_sec"]
+        if s["status"] == "completed":
+            timings[f"index_stage_{s['stage']}"] = s["wall_sec"]
 
     idx = Index.load(spark, INDEX_ROOT)
     step("index_warm", lambda: idx.warm(spark))  # pin serving tables
@@ -108,6 +109,21 @@ def main() -> None:
     timings["wand_single_10"] = round(sum(lat), 3)
     extra["query_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
     extra["query_p99_ms"] = round(1000 * lat[min(len(lat) - 1, int(len(lat) * 0.99))], 1)
+
+    # interactive path: scatter-gather to the driver, same exact kernel
+    from sparkrec.operators.scorer import bm25_query_topk_local
+
+    lat_i = []
+    for qid, qtext in qset[:10]:
+        t0 = time.monotonic()
+        bm25_query_topk_local(spark, idx, [(qid, qtext)], 10)
+        lat_i.append(time.monotonic() - t0)
+    lat_i.sort()
+    timings["wand_local_10"] = round(sum(lat_i), 3)
+    extra["query_local_p50_ms"] = round(1000 * lat_i[len(lat_i) // 2], 1)
+    extra["query_local_p99_ms"] = round(
+        1000 * lat_i[min(len(lat_i) - 1, int(len(lat_i) * 0.99))], 1
+    )
 
     # -- 3. DataFrame-only BM25 over the driver documents table ------------
     step(

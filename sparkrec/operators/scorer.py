@@ -136,6 +136,111 @@ def wand_topk(
     return top_docs[order], top_scores[order]
 
 
+def _query_term_rows(
+    queries: list[tuple[str, str]], min_token_len: int, remove_numeric: bool
+) -> list[tuple[str, str, int]]:
+    """Driver-side tokenization of the (tiny) query set — the same clean
+    semantics as the corpus pipeline; no Spark job."""
+    from collections import Counter
+
+    from sparkrec.functions.textprep import py_tokenize
+
+    rows: list[tuple[str, str, int]] = []
+    for qid, qtext in queries:
+        toks = py_tokenize(
+            qtext, min_token_len=min_token_len, remove_numeric=remove_numeric
+        )
+        for t, c in sorted(Counter(toks).items()):
+            rows.append((qid, t, c))
+    return rows
+
+
+def bm25_query_topk_local(
+    spark: SparkSession,
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int,
+    min_token_len: int = 2,
+    remove_numeric: bool = True,
+    max_blocks: int = 100_000,
+) -> pd.DataFrame:
+    """Interactive single-digit-latency path: scatter-gather scoring.
+
+    The partition-pruned, term-filtered posting blocks are collected to
+    the driver and the SAME exact WAND kernel runs in-process — one Spark
+    job (the pruned scan), zero shuffles, no Python-worker round-trip.
+    Returns a pandas DataFrame (query_id, rank, doc_id, score), identical
+    values to ``bm25_query_topk``.
+
+    Right for interactive point queries whose terms' posting volume is
+    bounded (the common case — WAND needs block metadata + the blocks it
+    actually decodes). A query over extreme hot terms can exceed the
+    driver budget: above ``max_blocks`` fetched blocks this raises, and
+    the caller should use the distributed path. At the 10^12-turn tier a
+    serving layer would cache the hot blocks driver-side; here the cap
+    keeps the fallback honest.
+    """
+    qrows = _query_term_rows(queries, min_token_len, remove_numeric)
+    cols = ["query_id", "rank", "doc_id", "score"]
+    empty = pd.DataFrame({c: [] for c in cols})
+    terms = sorted({t for _, t, _ in qrows})
+    if not terms:
+        return empty
+
+    lex_rows = (
+        index.lexicon(spark)
+        .filter(F.col("term").isin(terms))
+        .select("term", "idf", "term_bucket")
+        .collect()
+    )
+    if not lex_rows:
+        return empty
+    buckets = sorted({r["term_bucket"] for r in lex_rows})
+    idf_map = {r["term"]: float(r["idf"]) for r in lex_rows}
+
+    blocks = (
+        index.postings(spark)
+        .filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(sorted(idf_map))
+        )
+        .select("term", "block_id", "max_tf", "min_dl",
+                "docs_enc", "tfs_enc", "dls_enc")
+        .limit(max_blocks + 1)
+        .toPandas()
+    )
+    if len(blocks) > max_blocks:
+        raise ValueError(
+            f"query touches > {max_blocks} posting blocks — use the "
+            "distributed bm25_query_topk path"
+        )
+
+    out = []
+    for qid in dict.fromkeys(q for q, _, _ in qrows):
+        meta = {
+            t: (idf_map[t], qtf)
+            for q2, t, qtf in qrows
+            if q2 == qid and t in idf_map
+        }
+        if not meta:
+            continue
+        qb = blocks[blocks["term"].isin(meta.keys())]
+        doc_ids, scores = wand_topk(
+            qb, meta, k, index.avgdl, index.k1, index.b
+        )
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "rank": np.arange(1, len(doc_ids) + 1, dtype=np.int32),
+                    "doc_id": doc_ids,
+                    "score": scores,
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True) if out else empty
+
+
 def bm25_query_topk(
     spark: SparkSession,
     index: Index,
@@ -163,19 +268,7 @@ def bm25_query_topk(
     At the 100 TB tier P ≈ number of executor cores is the right setting
     for fat analytical queries; interactive point queries keep P = 1.
     """
-    # Driver-side tokenization of the (tiny) query set — the same clean
-    # semantics as the corpus pipeline; avoids a Spark job per lookup.
-    from collections import Counter
-
-    from sparkrec.functions.textprep import py_tokenize
-
-    qrows: list[tuple[str, str, int]] = []
-    for qid, qtext in queries:
-        toks = py_tokenize(
-            qtext, min_token_len=min_token_len, remove_numeric=remove_numeric
-        )
-        for t, c in sorted(Counter(toks).items()):
-            qrows.append((qid, t, c))
+    qrows = _query_term_rows(queries, min_token_len, remove_numeric)
     terms = sorted({t for _, t, _ in qrows})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)

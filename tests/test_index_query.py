@@ -130,6 +130,27 @@ def test_wand_matches_exhaustive_and_oracle(spark, index, oracle, queries_pdf):
     assert checked >= 20
 
 
+def test_local_scoring_matches_distributed(spark, index, queries_pdf):
+    """The driver-side scatter-gather path returns identical (qid, rank,
+    doc_id, score) to the distributed path, and enforces its block cap."""
+    from sparkrec.operators.scorer import bm25_query_topk_local
+
+    queries = list(zip(queries_pdf["query_id"], queries_pdf["query_text"]))
+    dist = {
+        (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 12))
+        for r in bm25_query_topk(spark, index, queries, 10).collect()
+    }
+    local = bm25_query_topk_local(spark, index, queries, 10)
+    got = {
+        (r.query_id, int(r.rank)): (int(r.doc_id), round(float(r.score), 12))
+        for r in local.itertuples()
+    }
+    assert got == dist
+
+    with pytest.raises(ValueError, match="posting blocks"):
+        bm25_query_topk_local(spark, index, queries, 10, max_blocks=1)
+
+
 def test_parallel_scoring_matches_single_group(spark, index, queries_pdf):
     """Doc-range-parallel WAND (P>1) is exact: identical ids AND scores to
     the one-group-per-query path, and to it again after warm() pins the
