@@ -152,6 +152,68 @@ def py_tokenize(
 
 
 # ---------------------------------------------------------------------------
+# Reference-exact token operators (P3, P12 — golden-tested against the
+# reference's own unit cases, tests/test_data_utils.py:16-62).
+# ---------------------------------------------------------------------------
+
+
+def lower_remove_unwanted_expr(
+    toks: Column,
+    remove_names: bool = False,
+    words_to_ignore: list[str] | None = None,
+    stop_words: list[str] | None = None,
+    names: list[str] | None = None,
+) -> Column:
+    """``_lower_remove_unwanted`` (reference data_utils.py:549-597): drop
+    names (pre-lowercase — capitalized-name semantics, the comment at
+    :580), numerics, ``words_to_ignore``, the literal ``"ref"`` and
+    stopwords, THEN lowercase survivors. Order matters: every membership
+    test runs on the original casing.
+
+    Small ignore-sets inline as ``isin`` literals; a full names corpus
+    (nltk ``all_names``, ~8k entries) should instead be a broadcast join
+    against the exploded tokens at scale — the predicate shape is
+    identical. Note: Python ``str.isnumeric()`` accepts unicode numerals;
+    the ASCII regex here matches the engine's tokenizer contract.
+    """
+    words_to_ignore = list(words_to_ignore or [])
+    stop_words = list(stop_words or [])
+    names = list(names or [])
+
+    def pred(t: Column) -> Column:
+        p = ~t.rlike(_NUMERIC_RE) & (t != F.lit("ref"))
+        if words_to_ignore:
+            p = p & ~t.isin(words_to_ignore)
+        if stop_words:
+            p = p & ~t.isin(stop_words)
+        if remove_names and names:
+            p = p & ~t.isin(names)
+        return p
+
+    return F.transform(F.filter(toks, pred), lambda t: F.lower(t))
+
+
+def combine_tokens_expr(toks: Column) -> Column:
+    """``_combine_tokens_to_str`` (data_utils.py:527-546): ' '-join; a
+    nested list-of-lists flattens first."""
+    return F.array_join(toks, " ")
+
+
+def subset_and_combine_expr(toks: Column, max_token_index: int = -1) -> Column:
+    """``_subset_and_combine_tokens`` (data_utils.py:642-667):
+    ``tokens[:max_token_index]`` then join. Mirrors Python slice semantics
+    exactly — including the reference's default ``-1``, which drops the
+    LAST token (an upstream quirk ``clean()`` inherits, data_utils.py:987)."""
+    if max_token_index >= 0:
+        sub = F.slice(toks, 1, max_token_index)
+    else:
+        sub = F.slice(
+            toks, 1, F.greatest(F.size(toks) + F.lit(max_token_index), F.lit(0))
+        )
+    return F.array_join(sub, " ")
+
+
+# ---------------------------------------------------------------------------
 # Lemmatize/stem hook (P9/P10) — vectorized plumbing, model-gated body.
 # ---------------------------------------------------------------------------
 

@@ -86,6 +86,37 @@ def exclude_inputs_topn(
     )
 
 
+WIKILINK_BOILERPLATE = [
+    "hardcover", "paperback", "hardback", "e-book",
+    "wikipedia:wikiproject books", "wikipedia:wikiproject novels",
+]
+
+
+def wikilink_frequencies(
+    corpus: DataFrame,
+    min_count: int = 4,
+    to_remove: list[str] | None = None,
+    links_col: str = "wikilinks",
+) -> DataFrame:
+    """(link, cnt) for links kept by the reference's wikilink filter
+    (model.py:424-443): per-article DISTINCT links (``list(set(a[2]))``),
+    lowercased, boilerplate removed, kept when corpus count ≥ min_count.
+
+    explode(array_distinct) → lower → anti-filter → hash agg → HAVING:
+    one shuffle, uniform keys (link strings), partial aggregation."""
+    to_remove = WIKILINK_BOILERPLATE if to_remove is None else to_remove
+    links = corpus.select(
+        F.explode(F.array_distinct(F.col(links_col))).alias("link")
+    ).select(F.lower("link").alias("link"))
+    if to_remove:
+        links = links.filter(~F.col("link").isin(list(to_remove)))
+    return (
+        links.groupBy("link")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
 def fuzzy_suggestions(
     titles: DataFrame,
     missed: str,
