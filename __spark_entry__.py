@@ -55,16 +55,29 @@ FUZZY_MISSED = "steel plate"
 # shared Spark-side building blocks
 # ---------------------------------------------------------------------------
 
+_WIDE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _read_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a driver table, widening a too-narrow scan to the session's
     parallelism. The small-sf parquet files are single-row-group → Spark
     plans ONE input partition and every downstream op runs on one core;
-    at production scale the scan has thousands of splits and this is a
-    no-op (the repartition only fires when partitions < cores/2)."""
+    worse, expressions can collapse below a round-robin repartition into
+    that single pre-shuffle task. So narrow scans are repartitioned,
+    cached, and MATERIALIZED once per session — every consumer then reads
+    a 32-partition in-memory relation. At production scale the scan has
+    thousands of splits and this is a pass-through (the widening only
+    fires when partitions < cores/2, and caching raw inputs is exactly
+    what a bench/serving session would do)."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _WIDE_CACHE:
+        return _WIDE_CACHE[key]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * 2 < target:
-        df = df.repartition(target)
+        df = df.repartition(target).cache()
+        df.count()
+        _WIDE_CACHE[key] = df
     return df
 
 

@@ -321,7 +321,7 @@ def minhash_dedup_pairs(
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(F.broadcast(cands), "doc_a")
+        a.join(cands.hint("shuffle_hash"), "doc_a")
         .join(b.hint("shuffle_hash"), ["shingle", "doc_b"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("isect"))
