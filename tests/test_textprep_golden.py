@@ -89,6 +89,31 @@ def test_wikilink_frequencies_reference_filter(spark):
     assert got == {"surf": 5}  # malibu/x below 4; hardcover is boilerplate
 
 
+def test_tokenizer_parity_fuzz(spark):
+    """Seeded fuzz: 300 random messy strings (unicode, punctuation runs,
+    URLs, numerics, odd whitespace) — Spark tokenize must equal the
+    Python twin token-for-token. One batched job, not per-example."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = (
+        list("abcdefgXYZ0123456789") + list("–’==//::--..,;!?#")
+        + [" ", "  ", "\t", "\n", "http://x.co/q?a=1", "…", "é", "ß", "中"]
+    )
+    samples = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)],
+                               "i int, text string")
+    got = {
+        r["i"]: r["toks"]
+        for r in df.select("i", tokenize_expr(F.col("text")).alias("toks")).collect()
+    }
+    for i, s in enumerate(samples):
+        assert got[i] == py_tokenize(s), repr(s)
+
+
 def test_normalize_spark_equals_python(spark):
     """The Catalyst normalize/tokenize and the oracle-side Python twin
     agree token-for-token on messy input."""
