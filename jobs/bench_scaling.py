@@ -6,7 +6,8 @@ executors. This sandbox has no multi-node cluster, so the evidence is the
 same job — identical input, identical seed — run at two parallelism
 levels in FRESH JVMs (one subprocess per level, so no warm-JVM bias):
 
-    python jobs/bench_scaling.py --low 8 --high 32 --n-convs 12000
+    python jobs/bench_scaling.py            # local[2] vs local[8], 96k convs
+    python jobs/bench_scaling.py --low 8 --high 32   # bandwidth-confounded pair
 
 For each level it: generates the seeded transcripts table (distributed,
 order-independent), builds the full compressed index, and runs the
@@ -56,6 +57,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
         build_index(spark, t, root, IndexConfig(), overwrite=True)
         build_sec = min(build_sec, time.monotonic() - t0)
 
+    t.unpersist()  # the input cache is dead weight for the query phase
     idx = Index.load(spark, root)
     idx.warm(spark)
     # Throughput workload: the fixture set tiled to 300 distinct query ids.
@@ -104,9 +106,9 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
 
 def main(argv=None) -> dict | None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--low", type=int, default=8)
-    p.add_argument("--high", type=int, default=32)
-    p.add_argument("--n-convs", type=int, default=48000)
+    p.add_argument("--low", type=int, default=2)
+    p.add_argument("--high", type=int, default=8)
+    p.add_argument("--n-convs", type=int, default=96000)
     p.add_argument("--out-md", default=os.path.join(REPO, "BENCH.md"))
     p.add_argument("--single", type=int, default=None,
                    help="(internal) run one level in this process")

@@ -89,6 +89,39 @@ def test_wikilink_frequencies_reference_filter(spark):
     assert got == {"surf": 5}  # malibu/x below 4; hardcover is boilerplate
 
 
+def test_references_strip_branches(spark):
+    # data_utils.py:780-790: with "Category:" present delete between the
+    # references header and " Category"; otherwise truncate at the header
+    from sparkrec.functions.textprep import references_strip_expr
+
+    rows = [
+        ("body ==References== refs here Category:Books tail", "cat"),
+        ("body ==References== refs only no category", "plain"),
+    ]
+    df = spark.createDataFrame(rows, "text string, tag string")
+    got = {
+        r["tag"]: r["out"]
+        for r in df.select(
+            "tag", references_strip_expr(F.col("text")).alias("out")
+        ).collect()
+    }
+    assert got["cat"] == "body  Category:Books tail"
+    assert got["plain"] == "body "
+
+
+def test_ratings_validation_errors(spark):
+    # model.py:331-333 semantics via fold_multi_input_scores
+    import pytest as _pytest
+
+    from sparkrec.operators.recommend import fold_multi_input_scores
+
+    s = spark.createDataFrame([(1, 1.0)], "doc_id long, score double")
+    with _pytest.raises(ValueError, match="between 0 and 10"):
+        fold_multi_input_scores([s, s], ratings=[5.0, 11.0])
+    with _pytest.raises(ValueError, match="length"):
+        fold_multi_input_scores([s, s], ratings=[5.0])
+
+
 def test_tokenizer_parity_fuzz(spark):
     """Seeded fuzz: 300 random messy strings (unicode, punctuation runs,
     URLs, numerics, odd whitespace) — Spark tokenize must equal the
