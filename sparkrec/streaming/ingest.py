@@ -66,8 +66,15 @@ def merge_index_delta(
     stats = read_table(spark, index_root, "stats").collect()[0]
     n_old, total_old = int(stats["n_docs"]), int(stats["total_len"])
 
+    from pyspark import StorageLevel
+
+    # persist assembly before assign_doc_ids' bucket-count action (same
+    # double-compute hazard as the batch build, operators/indexer.py)
+    assembled = assemble_docs(new_transcripts).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     new_docs = tokenize_docs(
-        assign_doc_ids(assemble_docs(new_transcripts)),
+        assign_doc_ids(assembled),
         min_token_len=cfg.min_token_len,
         remove_numeric=cfg.remove_numeric,
     ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old)).cache()
