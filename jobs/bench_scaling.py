@@ -57,7 +57,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
         build_index(spark, t, root, IndexConfig(), overwrite=True)
         build_sec = min(build_sec, time.monotonic() - t0)
 
-    t.unpersist()  # the input cache is dead weight for the query phase
+    t.unpersist(blocking=True)  # input cache is dead weight for queries
     idx = Index.load(spark, root)
     idx.warm(spark)
     # Throughput workload: the fixture set tiled to 300 distinct query ids.
@@ -127,6 +127,9 @@ def main(argv=None) -> dict | None:
     results = {}
     for cores in (args.low, args.high):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+        # the measured workload caches input + assembly + TF per trial;
+        # give the level JVM headroom beyond the 8g library default
+        env.setdefault("SPARKREC_DRIVER_MEM", "12g")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
              "--single", str(cores), "--n-convs", str(args.n_convs),

@@ -205,7 +205,7 @@ def build_index(
                 index_root,
                 "docs",
             )
-            assembled.unpersist()
+            assembled.unpersist(blocking=True)
 
     build_index_from_docs(spark, None, index_root, cfg, overwrite, metrics)
 
@@ -296,7 +296,7 @@ def build_index_from_docs(
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
             write_table(enc, index_root, "postings", partition_by=["term_bucket"])
-    tf.unpersist()
+    tf.unpersist(blocking=True)
 
 
 @dataclass

@@ -110,6 +110,30 @@ def test_tokenize_stays_whole_stage_codegen(spark):
     assert "EvalPython" not in p
 
 
+def test_media_metadata_stats_never_reads_payload(spark, tmp_path):
+    """Column pruning over multimodal tables: a metadata-only aggregate's
+    parquet ReadSchema must exclude the binary payload column — at 100 TB
+    the blob bytes are the table; reading them for a count is the bug."""
+    from sparkrec.operators.multimodal import media_metadata_stats, synth_media_df
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "media")
+    synth_media_df(spark, docs).write.parquet(path)
+    media = spark.read.parquet(path)
+    # duration/kind/n_bytes stats WITHOUT the length(payload) column —
+    # the pure metadata slice (length() would legitimately read the blob)
+    agg = media.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("duration_ms").alias("avg_ms")
+    )
+    p = plan(agg)
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert read_schema and all("payload" not in l for l in read_schema), read_schema
+    # and the full helper reads payload length but still prunes mime/width
+    p2 = plan(media_metadata_stats(media))
+    rs2 = [l for l in p2.splitlines() if "ReadSchema" in l]
+    assert rs2 and all("mime" not in l and "width" not in l for l in rs2), rs2
+
+
 def test_assembly_orders_inside_aggregation_no_global_sort(spark):
     """Doc assembly sorts turns INSIDE each group's aggregation buffer
     (array_sort over collect_list) — the plan must contain no Sort node
