@@ -109,7 +109,7 @@ def main(argv=None) -> dict | None:
     p.add_argument("--low", type=int, default=2)
     p.add_argument("--high", type=int, default=8)
     p.add_argument("--n-convs", type=int, default=96000)
-    p.add_argument("--out-md", default=os.path.join(REPO, "BENCH.md"))
+    p.add_argument("--out-md", default=os.path.join(REPO, "BENCH_SCALING.md"))
     p.add_argument("--single", type=int, default=None,
                    help="(internal) run one level in this process")
     p.add_argument("--trials", type=int, default=2,
