@@ -133,7 +133,10 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
                 {
                     "media_id": pd.Series(ids, dtype="int64"),
                     "frame_idx": pd.Series(idxs, dtype="int32"),
-                    "frame_feature": feats,
+                    # object dtype: an empty partition would otherwise
+                    # produce a float64 column that Arrow can't cast to
+                    # list<float>
+                    "frame_feature": pd.Series(feats, dtype="object"),
                 }
             )
 
