@@ -255,16 +255,21 @@ def q_phrase_rewrite(spark, sf_dir):
 
 
 def q_events_daily(spark, sf_dir):
+    # averages via EXACT sums (decimal for doubles, long for ints) divided
+    # last: float-sum order differences otherwise land avg on a
+    # round-half knife edge where Spark (HALF_UP) and DuckDB (half-even)
+    # disagree in the 6th decimal — observed once per ~150 groups
     events = _read_wide(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    vsum = F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+    ksum = F.sum(F.get_json_object("props", "$.k").cast("long"))
     return events.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_type",
     ).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
-        F.round(
-            F.avg(F.get_json_object("props", "$.k").cast("double")), 6
-        ).alias("avg_k"),
+        n.alias("n"),
+        F.round(vsum / n, 6).alias("avg_value"),
+        F.round(ksum.cast("double") / n, 6).alias("avg_k"),
     )
 
 
@@ -601,8 +606,8 @@ FROM toks t LEFT JOIN matched m ON m.doc_id = t.doc_id"""
 
     events_daily = """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
   event_type, count(*) AS n,
-  round(avg(value), 6) AS avg_value,
-  round(avg(json_extract(props, '$.k')::DOUBLE), 6) AS avg_k
+  round(sum(value::DECIMAL(30,10))::DOUBLE / count(*), 6) AS avg_value,
+  round(sum(json_extract(props, '$.k')::BIGINT)::DOUBLE / count(*), 6) AS avg_k
 FROM events GROUP BY 1, 2"""
 
     sample_det = """SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
