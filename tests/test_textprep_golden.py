@@ -89,6 +89,17 @@ def test_wikilink_frequencies_reference_filter(spark):
     assert got == {"surf": 5}  # malibu/x below 4; hardcover is boilerplate
 
 
+def test_exact_dedup_keeps_min_id(spark):
+    from sparkrec.operators.dedup import exact_dedup
+
+    rows = [(3, "same"), (1, "same"), (2, "other"), (9, "same")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in exact_dedup(df).collect()
+    )
+    assert got == [(1, "same"), (2, "other")]
+
+
 def test_references_strip_branches(spark):
     # data_utils.py:780-790: with "Category:" present delete between the
     # references header and " Category"; otherwise truncate at the header
