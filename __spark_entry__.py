@@ -132,10 +132,10 @@ def _ranked(scores: DataFrame, k: int, per_query: bool) -> DataFrame:
 
 
 def _entry_index_root(sf_dir: str) -> str:
-    # v2: postings schema gained min_dl, stats gained total_len — the tag
+    # v3: postings schema dropped the dead max_weight column — the tag
     # keys the on-disk cache so stale-schema indexes are never reused
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join("/tmp", f"sparkrec_entry_idx_v2_{tag}")
+    return os.path.join("/tmp", f"sparkrec_entry_idx_v3_{tag}")
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):

@@ -13,8 +13,9 @@ Layout per posting block (one parquet row):
     dls     : varint  (per-doc length — BM25 needs it at score time; storing
               it beats a join against the docs table on every query)
 
-Block-max metadata (max_weight = max over the block of the BM25 tf/dl part)
-is computed exactly in float64 at build time so WAND upper bounds are safe.
+Block-max metadata is (max_tf, min_dl) per block — the WAND upper bound is
+derived from them at query time under the current avgdl (monotonicity
+argument in operators/scorer.py), so bounds survive incremental merges.
 """
 
 from __future__ import annotations

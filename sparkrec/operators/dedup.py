@@ -23,6 +23,12 @@ the standard ladder, each designed around its shuffle profile:
 - **embedding cosine**: see operators/simsearch.py (near_dup_pairs).
 
 All pair outputs are canonicalized (a < b) and deterministic.
+
+Cache lifetime: multi-branch intermediates (shingle tables, band tables,
+candidate pairs) are cached via ``session.scoped_cache`` so the expensive
+branch computes once per call. Long-lived sessions should call
+``sparkrec.session.release_caches()`` after materializing the returned
+DataFrames — otherwise repeated dedup calls accumulate cache entries.
 """
 
 from __future__ import annotations
@@ -34,6 +40,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sparkrec.functions.sqltok import sql_tokenize_expr
+from sparkrec.session import scoped_cache
 
 MERSENNE_61 = (1 << 61) - 1
 
@@ -131,7 +138,7 @@ def ngram_jaccard_pairs(
     in-memory equivalent of materializing the shingle table, which is
     what you'd do at 100 TB (write it, read it thrice).
     """
-    sh = shingle_df(docs, n, id_col, text_col).cache()
+    sh = scoped_cache(shingle_df(docs, n, id_col, text_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
 
     sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
@@ -274,7 +281,8 @@ def lsh_candidate_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket").cache()
+    ).select("doc_id", "bb.band", "bb.bucket")
+    bands = scoped_cache(bands)
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
     # shuffle_hash: the self-join sides scale with the corpus — Spark's
@@ -307,7 +315,7 @@ def minhash_dedup_pairs(
     candidates, not corpus²).
     """
     sigs = minhash_signatures(docs, n_hashes, shingle_n, seed, id_col, text_col)
-    cands = lsh_candidate_pairs(sigs, n_bands).cache()
+    cands = scoped_cache(lsh_candidate_pairs(sigs, n_bands))
     # materialize NOW, with a normal parallel job: `cands` is consumed via
     # broadcast below, and a lazy broadcast subquery executes its whole
     # child DAG (signature UDF included) single-threaded inside the
@@ -316,7 +324,7 @@ def minhash_dedup_pairs(
 
     # cached: feeds sizes + both sides of the verify join (see
     # ngram_jaccard_pairs for the rationale)
-    sh = shingle_df(docs, shingle_n, id_col, text_col).cache()
+    sh = scoped_cache(shingle_df(docs, shingle_n, id_col, text_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -416,7 +424,8 @@ def simhash_near_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "simhash", "bb.band", "bb.bucket").cache()
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    bands = scoped_cache(bands)
     # cached: self-joined below (same rationale as lsh_candidate_pairs)
     a = bands.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),

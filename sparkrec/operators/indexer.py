@@ -47,13 +47,13 @@ from sparkrec.operators.bm25 import (
     term_freqs,
     tokenize_docs,
 )
-from sparkrec.operators.codec import bm25_weight, encode_postings_many
+from sparkrec.operators.codec import encode_postings_many
 from sparkrec.operators.docs import assemble_docs, assign_doc_ids
 from sparkrec.sources.tables import read_table, table_exists, write_table
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id long, n int, doc_lo long, doc_hi long, "
-    "max_tf int, min_dl int, max_weight double, "
+    "max_tf int, min_dl int, "
     "docs_enc binary, tfs_enc binary, dls_enc binary"
 )
 
@@ -135,17 +135,16 @@ def encode_postings(
             )
             flat_tf = np.concatenate(tf_lists)
             flat_dl = np.concatenate(dl_lists)
-            w = bm25_weight(flat_tf, flat_dl, avgdl, k1, b)
             lens = np.array([len(x) for x in doc_lists])
             starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            max_w = np.maximum.reduceat(w, starts)
             max_tf = np.maximum.reduceat(flat_tf, starts)
-            # min_dl makes the block upper bound recomputable under a LATER
-            # avgdl: bm25_weight is ↑ in tf and ↓ in dl, so
-            # f(max_tf, min_dl, avgdl_now) ≥ f(tf_i, dl_i, avgdl_now) for
-            # every posting — the WAND bound stays safe after incremental
-            # merges shift corpus stats (streaming/ingest.py), unlike the
-            # build-time max_weight which bakes the old avgdl in.
+            # (max_tf, min_dl) make the block upper bound recomputable at
+            # query time under the CURRENT avgdl: bm25_weight is ↑ in tf
+            # and ↓ in dl, so f(max_tf, min_dl, avgdl_now) ≥
+            # f(tf_i, dl_i, avgdl_now) for every posting — the WAND bound
+            # stays safe after incremental merges shift corpus stats
+            # (streaming/ingest.py). A build-time max_weight would bake the
+            # old avgdl in, so none is stored.
             min_dl = np.minimum.reduceat(flat_dl, starts)
             yield pd.DataFrame(
                 {
@@ -157,7 +156,6 @@ def encode_postings(
                     "doc_hi": np.array([int(x[-1]) for x in doc_lists], dtype=np.int64),
                     "max_tf": max_tf.astype(np.int32),
                     "min_dl": min_dl.astype(np.int32),
-                    "max_weight": max_w,
                     "docs_enc": docs_enc,
                     "tfs_enc": tfs_enc,
                     "dls_enc": dls_enc,

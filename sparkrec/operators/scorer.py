@@ -9,7 +9,10 @@ are cut at the same doc-id boundaries, a block id ``g`` denotes a
 score-complete doc segment — decoding all query-term blocks with id ``g``
 yields final scores for every doc in the segment. The kernel therefore:
 
-1. computes a per-segment upper bound  UB(g) = Σ_t qtf·idf_t·max_weight(t,g)
+1. computes a per-segment upper bound
+   UB(g) = Σ_t qtf·idf_t·bm25_weight(max_tf(t,g), min_dl(t,g), avgdl_now)
+   — derived at query time from the stored (max_tf, min_dl) block
+   metadata under the CURRENT corpus avgdl (see ``wand_topk`` docstring)
 2. visits segments in descending UB order, chunk-at-a-time, maintaining a
    running top-k threshold θ,
 3. stops as soon as the next segment's UB < θ (or ≤ θ with a full heap and

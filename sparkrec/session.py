@@ -83,3 +83,41 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# ---------------------------------------------------------------------------
+# Scoped cache registry
+# ---------------------------------------------------------------------------
+# Operators that feed one DataFrame into several plan branches (dedup's
+# shingle/band tables, simsearch candidates) cache it so the expensive
+# branch runs once. Spark's CacheManager holds such entries until an
+# explicit unpersist, so a long-lived session calling those operators
+# repeatedly would grow cache state without bound. Registering every such
+# cache here lets callers drop them all AFTER consuming the results:
+#
+#     pairs = minhash_dedup_pairs(docs, ...).collect()
+#     release_caches()        # safe: results are materialized
+#
+# (Releasing BEFORE consuming the returned lazy DataFrame just recomputes.)
+
+_SCOPED_CACHES: list = []
+
+
+def scoped_cache(df):
+    """``df.cache()`` + registration for later ``release_caches()``."""
+    df = df.cache()
+    _SCOPED_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every registered scoped cache; returns how many."""
+    n = 0
+    while _SCOPED_CACHES:
+        df = _SCOPED_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return n

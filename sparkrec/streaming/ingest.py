@@ -68,16 +68,45 @@ def merge_index_delta(
 
     from pyspark import StorageLevel
 
+    # every persisted relation goes through _hold so the finally block
+    # releases them on EVERY exit path (replay-skip, partial-overlap
+    # reject, empty batch, success) — a continuous stream_index run would
+    # otherwise accumulate cache entries per epoch without bound
+    held: list[DataFrame] = []
+
+    def _hold(df: DataFrame) -> DataFrame:
+        held.append(df)
+        return df
+
     # persist assembly before assign_doc_ids' bucket-count action (same
     # double-compute hazard as the batch build, operators/indexer.py)
-    assembled = assemble_docs(new_transcripts).persist(
-        StorageLevel.MEMORY_AND_DISK
+    assembled = _hold(
+        assemble_docs(new_transcripts).persist(StorageLevel.MEMORY_AND_DISK)
     )
-    new_docs = tokenize_docs(
-        assign_doc_ids(assembled),
-        min_token_len=cfg.min_token_len,
-        remove_numeric=cfg.remove_numeric,
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old)).cache()
+    new_docs = _hold(
+        tokenize_docs(
+            assign_doc_ids(assembled),
+            min_token_len=cfg.min_token_len,
+            remove_numeric=cfg.remove_numeric,
+        ).withColumn("doc_id", F.col("doc_id") + F.lit(n_old)).cache()
+    )
+    try:
+        return _merge_locked(spark, index_root, cfg, new_docs, _hold,
+                             n_old, total_old)
+    finally:
+        for df in held:
+            df.unpersist()
+
+
+def _merge_locked(
+    spark: SparkSession,
+    index_root: str,
+    cfg: IndexConfig,
+    new_docs: DataFrame,
+    _hold,
+    n_old: int,
+    total_old: int,
+) -> dict:
 
     # Replay/idempotency handling: foreachBatch is at-least-once, so a
     # crashed epoch can be re-delivered. A batch whose conversations are
@@ -89,13 +118,11 @@ def merge_index_delta(
     # docs missing their postings (unsearchable, detectable by comparing
     # docs vs postings doc counts), never duplicated postings, which
     # would silently double scores.
-    batch_convs = new_docs.select("conv_id").distinct().cache()
+    batch_convs = _hold(new_docs.select("conv_id").distinct().cache())
     n_batch_convs = batch_convs.count()
     old_convs = read_table(spark, index_root, "docs").select("conv_id")
     clash = batch_convs.join(old_convs, "conv_id", "left_semi").count()
     if clash == n_batch_convs and n_batch_convs > 0:
-        new_docs.unpersist()
-        batch_convs.unpersist()
         return {"docs_added": 0, "n_docs": n_old, "skipped_replay": True}
     if clash:
         raise ValueError(
@@ -103,7 +130,6 @@ def merge_index_delta(
             "indexed — incremental merge is append-only (updates need "
             "tombstoning)"
         )
-    batch_convs.unpersist()
 
     row = new_docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -160,7 +186,7 @@ def merge_index_delta(
     write_table(enc, index_root, "postings", partition_by=["term_bucket"],
                 mode="append")
 
-    merged_rows = merged.cache()
+    merged_rows = _hold(merged.cache())
     n_terms = merged_rows.count()  # materialize BEFORE overwriting the input
     write_table(merged_rows, index_root, "lexicon")
     write_table(
@@ -172,8 +198,6 @@ def merge_index_delta(
         index_root,
         "stats",
     )
-    new_docs.unpersist()
-    merged_rows.unpersist()
     return {
         "docs_added": n_new,
         "turns_tokens_added": total_new,
