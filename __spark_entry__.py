@@ -49,6 +49,22 @@ BIGRAM_MIN_COUNT = 10
 JACCARD_THRESHOLD = 0.15
 COS_DUP_THRESHOLD = 0.42
 FUZZY_MISSED = "steel plate"
+# clean() contract params (A2 + min_tokens + truncate; canonical shape of
+# reference examples/rec_books.ipynb cell 14 scaled to the synthetic vocab)
+CLEAN_MIN_FREQ = 5
+CLEAN_MIN_LEN = 3
+CLEAN_MIN_TOKENS = 10
+# seeded exact-size sample
+SAMPLE_K = 77
+SAMPLE_SEED = 7
+# banded-LSH embedding near-dup
+ND_PLANES = 4
+ND_TABLES = 4
+EMB_DIM = 64
+# composed recommend()
+REC_INPUTS = ["doc 42", "doc 7"]
+REC_RATINGS = [8.0, 6.0]
+REC_MISSED = "doc 9x7"
 
 
 # ---------------------------------------------------------------------------
@@ -241,6 +257,8 @@ def q_phrase_mine(spark, sf_dir):
 
 
 def q_phrase_rewrite(spark, sf_dir):
+    """Greedy non-overlapping bigram rewrite (gensim transform semantics,
+    reference prepend order): phrases listed in final prepended order."""
     from sparkrec.operators.phrases import rewrite_with_phrases
 
     toks = _doc_tokens(spark, sf_dir)
@@ -252,6 +270,66 @@ def q_phrase_rewrite(spark, sf_dir):
             F.filter("tokens", lambda t: t.contains("_")), ","
         ).alias("phrases"),
     )
+
+
+def q_trigram_mine(spark, sf_dir):
+    """Second Phrases pass: promoted pairs of the greedily
+    bigram-transformed stream whose joined form is a true trigram."""
+    from sparkrec.operators.phrases import mine_trigrams
+
+    return mine_trigrams(
+        _doc_tokens(spark, sf_dir),
+        _promoted_phrases(spark, sf_dir),
+        min_count=PHRASE_MIN_COUNT,
+        threshold=PHRASE_THRESHOLD,
+    )
+
+
+def q_clean_pipeline(spark, sf_dir):
+    """clean() stages 6-7 (A2 min-token-freq + min-len, STRICT min_tokens,
+    -1 truncation) via the composed operator; all docs reported with a
+    kept flag. Phrase/stem stages are oracled/tested separately."""
+    from sparkrec.operators.clean import CleanConfig, clean_tokens
+
+    toks = _doc_tokens(spark, sf_dir)
+    cfg = CleanConfig(
+        language="und",  # stem leg exercised by the rows-only `stemmed` entry
+        min_token_freq=CLEAN_MIN_FREQ, min_token_len=CLEAN_MIN_LEN,
+        min_tokens=CLEAN_MIN_TOKENS, max_token_index=-1,
+        mine_phrases=False, remove_stopwords=False,
+    )
+    cleaned = clean_tokens(toks, cfg)
+    return (
+        toks.select("doc_id")
+        .join(cleaned.select("doc_id", "tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("tokens").isNotNull().cast("int").alias("kept"),
+            F.coalesce(F.size("tokens"), F.lit(0)).alias("final_len"),
+            F.coalesce(F.array_join("tokens", " "), F.lit("")).alias(
+                "final_text"
+            ),
+        )
+    )
+
+
+def q_stemmed(spark, sf_dir):
+    """Snowball English stem over every document (rows-only: DuckDB has
+    no offline stemmer; parity is enforced by tests/test_stem.py's
+    Spark-vs-Python-twin fuzz)."""
+    from sparkrec.functions.stem import stem_tokens
+
+    return stem_tokens(_doc_tokens(spark, sf_dir), "tokens").select(
+        "doc_id", F.array_join("tokens", " ").alias("stemmed_text")
+    )
+
+
+def q_sample_seeded(spark, sf_dir):
+    from sparkrec.operators.sample import seeded_sample
+
+    return seeded_sample(
+        _documents(spark, sf_dir), SAMPLE_K, seed=SAMPLE_SEED
+    ).select("doc_id")
 
 
 def q_events_daily(spark, sf_dir):
@@ -270,6 +348,24 @@ def q_events_daily(spark, sf_dir):
         n.alias("n"),
         F.round(vsum / n, 6).alias("avg_value"),
         F.round(ksum.cast("double") / n, 6).alias("avg_k"),
+    )
+
+
+def q_events_window(spark, sf_dir):
+    """Sliding 1-day/12-hour windows over ts (epoch-aligned, UTC) —
+    exercises the timestamp surface beyond daily truncation."""
+    events = _read_wide(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    vsum = F.sum(F.col("value").cast("decimal(30,10)")).cast("double")
+    return (
+        events.groupBy(
+            F.window("ts", "1 day", "12 hours").alias("w"), "event_type"
+        )
+        .agg(n.alias("n"), F.round(vsum / n, 6).alias("avg_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type", "n", "avg_value",
+        )
     )
 
 
@@ -344,10 +440,46 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """Banded multi-table LSH near-dup — the 100 TB path (no crossJoin,
+    plan-asserted in tests/test_plans.py). The DuckDB twin computes the
+    SAME bucketing from the same hyperplane literals, so the comparison
+    is exact even though LSH recall < 1 vs all-pairs."""
     from sparkrec.operators.simsearch import near_dup_pairs
 
     emb = _read_wide(spark, sf_dir, "embeddings")
-    return near_dup_pairs(emb, threshold=COS_DUP_THRESHOLD, exact=True)
+    return near_dup_pairs(
+        emb, threshold=COS_DUP_THRESHOLD, dim=EMB_DIM,
+        n_planes=ND_PLANES, n_tables=ND_TABLES,
+    )
+
+
+def _rec_docs(spark, sf_dir):
+    """documents + synthesized unique titles + sql-parity tokens."""
+    return _doc_tokens(spark, sf_dir).withColumn(
+        "title", F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+    )
+
+
+def q_recommend_titles(spark, sf_dir):
+    from sparkrec.operators.recommend import recommend
+
+    res = recommend(
+        spark, _rec_docs(spark, sf_dir), REC_INPUTS, REC_RATINGS,
+        n=TOP_K, round_scores=4,
+    )
+    return res.recs.select("title", F.round("score", 4).alias("score"))
+
+
+def q_recommend_suggest(spark, sf_dir):
+    """The miss branch: one input absent from the corpus → its top-5
+    fuzzy title suggestions (model.py:360-370 wired to utils.py:24-57)."""
+    from sparkrec.operators.recommend import recommend
+
+    res = recommend(
+        spark, _rec_docs(spark, sf_dir), [REC_INPUTS[0], REC_MISSED],
+        n=TOP_K,
+    )
+    return res.suggestions
 
 
 def q_fuzzy_suggest(spark, sf_dir):
@@ -448,8 +580,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": q_bigram_counts,
         "phrase_mine": q_phrase_mine,
         "phrase_rewrite": q_phrase_rewrite,
+        "trigram_mine": q_trigram_mine,
+        "clean_pipeline": q_clean_pipeline,
         "events_daily": q_events_daily,
+        "events_window": q_events_window,
         "sample_deterministic": q_sample_deterministic,
+        "sample_seeded": q_sample_seeded,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
         "lang_id": q_lang_id,
@@ -459,7 +595,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "fuzzy_suggest": q_fuzzy_suggest,
         "topn_per_group": q_topn_per_group,
+        "recommend_titles": q_recommend_titles,
+        "recommend_suggest": q_recommend_suggest,
         # rows-only (no SQL-expressible oracle):
+        "stemmed": q_stemmed,
         "simhash_near": q_simhash_near,
         "minhash_pairs": q_minhash_pairs,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -570,39 +709,119 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE isect::DOUBLE / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}"""
 
+    # gensim semantics: vocab = distinct unigrams + distinct pairs (both
+    # live in one dict), promotion is STRICT score > threshold, and the
+    # transform matches greedily left-to-right without overlaps. Greedy
+    # as algebra (same derivation as operators/phrases._greedy_positions):
+    # matched(p) ⇔ promoted(p) ∧ (p − last_unpromoted_position) is odd.
+    mc, th = PHRASE_MIN_COUNT, PHRASE_THRESHOLD
     phrase_ctes = f"""{_TOKS_CTE},
 pos AS (SELECT doc_id, unnest(tokens) AS tok,
                generate_subscripts(tokens, 1) AS p FROM toks),
-pr AS (SELECT doc_id, p, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
+pr AS (SELECT doc_id, p, tok,
+              tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
               AS phrase FROM pos),
 pc AS (SELECT phrase, count(*) AS cnt FROM pr WHERE phrase IS NOT NULL
        GROUP BY phrase),
 uni AS (SELECT tok, count(*) AS ucnt FROM pos GROUP BY tok),
-v AS (SELECT count(*)::DOUBLE AS vocab FROM uni),
+v AS (SELECT ((SELECT count(*) FROM uni)
+            + (SELECT count(*) FROM pc))::DOUBLE AS vocab),
 promoted AS (
   SELECT pc.phrase, pc.cnt,
-         round((pc.cnt - {PHRASE_MIN_COUNT})::DOUBLE * v.vocab
+         round((pc.cnt - {mc})::DOUBLE * v.vocab
                / (ua.ucnt * ub.ucnt), 6) AS score
   FROM pc
   JOIN uni ua ON ua.tok = string_split(pc.phrase, ' ')[1]
   JOIN uni ub ON ub.tok = string_split(pc.phrase, ' ')[2]
   CROSS JOIN v
-  WHERE pc.cnt >= {PHRASE_MIN_COUNT}
-    AND (pc.cnt - {PHRASE_MIN_COUNT})::DOUBLE * v.vocab
-        / (ua.ucnt * ub.ucnt) >= {PHRASE_THRESHOLD})"""
+  WHERE pc.cnt >= {mc}
+    AND (pc.cnt - {mc})::DOUBLE * v.vocab
+        / (ua.ucnt * ub.ucnt) > {th}),
+st AS (SELECT pr.doc_id, pr.p, pr.tok, pr.phrase,
+              (promoted.phrase IS NOT NULL) AS flag
+       FROM pr LEFT JOIN promoted USING (phrase)),
+st2 AS (SELECT *, max(CASE WHEN NOT flag THEN p END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS UNBOUNDED PRECEDING) AS lu FROM st),
+st3 AS (SELECT *, (flag AND (p - coalesce(lu, 0)) % 2 = 1) AS matched
+        FROM st2),
+st4 AS (SELECT *, coalesce(lag(matched)
+               OVER (PARTITION BY doc_id ORDER BY p), false) AS consumed
+        FROM st3)"""
 
     phrase_mine = f"WITH {phrase_ctes} SELECT phrase, cnt, score FROM promoted"
 
     phrase_rewrite = f"""WITH {phrase_ctes},
-matched AS (
-  SELECT pr.doc_id,
-         list_sort(list(replace(pr.phrase, ' ', '_'))) AS phrases
-  FROM pr JOIN promoted USING (phrase)
-  GROUP BY pr.doc_id)
+m AS (SELECT doc_id, p, replace(phrase, ' ', '_') AS j FROM st4 WHERE matched),
+agg AS (SELECT doc_id, list(j ORDER BY p DESC) AS phrases FROM m
+        GROUP BY doc_id)
 SELECT t.doc_id,
-       (len(t.tokens) + coalesce(len(m.phrases), 0))::INTEGER AS total_len,
-       coalesce(array_to_string(m.phrases, ','), '') AS phrases
-FROM toks t LEFT JOIN matched m ON m.doc_id = t.doc_id"""
+       (len(t.tokens) + coalesce(len(a.phrases), 0))::INTEGER AS total_len,
+       coalesce(array_to_string(a.phrases, ','), '') AS phrases
+FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"""
+
+    trigram_mine = f"""WITH {phrase_ctes},
+emit AS (SELECT doc_id, p,
+                CASE WHEN matched THEN replace(phrase, ' ', '_')
+                     ELSE tok END AS tok2
+         FROM st4 WHERE NOT consumed),
+pr2 AS (SELECT doc_id, p, tok2,
+               tok2 || ' ' || lead(tok2)
+               OVER (PARTITION BY doc_id ORDER BY p) AS phrase FROM emit),
+pc2 AS (SELECT phrase, count(*) AS cnt FROM pr2 WHERE phrase IS NOT NULL
+        GROUP BY phrase),
+uni2 AS (SELECT tok2 AS tok, count(*) AS ucnt FROM pr2 GROUP BY tok2),
+v2 AS (SELECT ((SELECT count(*) FROM uni2)
+             + (SELECT count(*) FROM pc2))::DOUBLE AS vocab),
+promoted2 AS (
+  SELECT pc2.phrase, pc2.cnt,
+         round((pc2.cnt - {mc})::DOUBLE * v2.vocab
+               / (ua.ucnt * ub.ucnt), 6) AS score
+  FROM pc2
+  JOIN uni2 ua ON ua.tok = string_split(pc2.phrase, ' ')[1]
+  JOIN uni2 ub ON ub.tok = string_split(pc2.phrase, ' ')[2]
+  CROSS JOIN v2
+  WHERE pc2.cnt >= {mc}
+    AND (pc2.cnt - {mc})::DOUBLE * v2.vocab
+        / (ua.ucnt * ub.ucnt) > {th})
+SELECT phrase, cnt, score FROM promoted2
+WHERE len(string_split(replace(phrase, ' ', '_'), '_')) = 3"""
+
+    clean_pipeline = f"""WITH {_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(tokens) AS term,
+               generate_subscripts(tokens, 1) AS p FROM toks),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
+filt AS (SELECT pos.doc_id, pos.p, pos.term
+         FROM pos JOIN dfreq USING (term)
+         WHERE dfreq.df >= {CLEAN_MIN_FREQ}
+           AND len(pos.term) >= {CLEAN_MIN_LEN}),
+ranked AS (SELECT doc_id, p, term,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS n1
+           FROM filt),
+kept AS (SELECT doc_id, max(n1) - 1 AS final_len,
+                coalesce(string_agg(term, ' ' ORDER BY p)
+                         FILTER (WHERE rn <= n1 - 1), '') AS final_text
+         FROM ranked WHERE n1 > {CLEAN_MIN_TOKENS} GROUP BY doc_id)
+SELECT t.doc_id, (k.doc_id IS NOT NULL)::INTEGER AS kept,
+       coalesce(k.final_len, 0)::INTEGER AS final_len,
+       coalesce(k.final_text, '') AS final_text
+FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id"""
+
+    events_window = """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS w_start,
+  event_type, count(*) AS n,
+  round(sum(value::DECIMAL(30,10))::DOUBLE / count(*), 6) AS avg_value
+FROM (SELECT unnest([
+        make_timestamp((floor(epoch(ts) / 43200)::BIGINT * 43200) * 1000000),
+        make_timestamp((floor(epoch(ts) / 43200)::BIGINT * 43200 - 43200)
+                       * 1000000)]) AS ws,
+             event_type, value
+      FROM events)
+GROUP BY 1, 2"""
+
+    sample_seeded = f"""SELECT doc_id FROM documents
+ORDER BY md5('{SAMPLE_SEED}' || ':' || doc_id::VARCHAR), doc_id
+LIMIT {SAMPLE_K}"""
 
     events_daily = """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
   event_type, count(*) AS n,
@@ -665,13 +884,40 @@ SELECT vec_id, cos FROM (
   FROM agg CROSS JOIN qn)
 ORDER BY cos DESC, vec_id LIMIT {TOP_K}"""
 
+    # banded-LSH near-dup twin: SAME hyperplane literals, SAME bucketing
+    # rule as the Spark path — the oracle reproduces the LSH candidate
+    # generation exactly, so the hash compare is exact despite recall<1.
+    from sparkrec.operators.simsearch import _hyperplanes
+
+    planes = _hyperplanes(EMB_DIM, ND_PLANES * ND_TABLES, seed=42)
+
+    def _plane_lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    def _bucket_sql(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {_plane_lit(planes[t * ND_PLANES + j])}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(ND_PLANES)
+        )
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS tbl, {_bucket_sql(t)} AS bucket FROM e"
+        for t in range(ND_TABLES)
+    )
     near_dup = f"""WITH e AS (SELECT vec_id,
          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        round(list_dot_product(a.v, b.v)
-          / (sqrt(list_dot_product(a.v, a.v))
-             * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+b AS ({bands_union}),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+         FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket
+                           AND a.vec_id < b2.vec_id),
+p AS (SELECT c.vec_a, c.vec_b,
+        round(list_dot_product(ea.v, eb.v)
+          / (sqrt(list_dot_product(ea.v, ea.v))
+             * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b)
 SELECT vec_a, vec_b, cos FROM p WHERE cos >= {COS_DUP_THRESHOLD}"""
 
     fuzzy = f"""WITH t AS (SELECT p_name AS title FROM part)
@@ -679,6 +925,48 @@ SELECT title,
   round(1.0 - levenshtein(lower(title), '{FUZZY_MISSED.lower()}')::DOUBLE
         / greatest(length(title), {len(FUZZY_MISSED)}, 1), 6) AS similarity
 FROM t ORDER BY similarity DESC, title LIMIT 5"""
+
+    k1, b = BM25_K1, BM25_B
+    rw0, rw1 = (r / 10.0 for r in REC_RATINGS)
+    recommend_titles = f"""WITH {_TF_CTES},
+stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+inputs(ord, title) AS (VALUES (0, '{REC_INPUTS[0]}'), (1, '{REC_INPUTS[1]}')),
+titled AS (SELECT doc_id, 'doc ' || doc_id::VARCHAR AS title FROM documents),
+qdocs AS (SELECT i.ord, t.doc_id AS qdoc FROM inputs i
+          JOIN titled t USING (title)),
+qterms AS (SELECT q.ord, tf.term, tf.tf AS qtf FROM qdocs q
+           JOIN tf ON tf.doc_id = q.qdoc),
+scored AS (
+  SELECT q.ord, tf.doc_id,
+         round(sum(q.qtf * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * tf.tf * ({k1} + 1.0)
+             / (tf.tf + {k1} * (1.0 - {b} + {b} * dl.doc_len / s.avgdl))), 4)
+         AS score
+  FROM tf
+  JOIN qterms q ON tf.term = q.term
+  JOIN dfreq d ON d.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.ord, tf.doc_id),
+s1 AS (SELECT doc_id, score FROM scored WHERE ord = 0),
+s2 AS (SELECT doc_id, score FROM scored WHERE ord = 1),
+folded AS (SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+       (1.0 * coalesce({rw0} * s1.score, 0.0)
+        + {rw1} * coalesce(s2.score, 0.0)) / 2.0 AS raw
+  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id)
+SELECT title, score FROM (
+  SELECT 'doc ' || doc_id::VARCHAR AS title, round(raw, 4) AS score,
+         raw, doc_id
+  FROM folded WHERE doc_id NOT IN (SELECT qdoc FROM qdocs)) sub
+ORDER BY raw DESC, doc_id LIMIT {TOP_K}"""
+
+    recommend_suggest = f"""WITH titled AS (
+  SELECT 'doc ' || doc_id::VARCHAR AS title FROM documents)
+SELECT '{REC_MISSED}' AS missed_input, title,
+  round(1.0 - levenshtein(lower(title), '{REC_MISSED.lower()}')::DOUBLE
+        / greatest(length(title), {len(REC_MISSED)}, 1), 6) AS similarity
+FROM titled ORDER BY similarity DESC, title LIMIT 5"""
 
     topn = """SELECT user_id, event_id, value FROM (
   SELECT user_id, event_id, value,
@@ -698,8 +986,12 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "bigram_counts": bigrams,
         "phrase_mine": phrase_mine,
         "phrase_rewrite": phrase_rewrite,
+        "trigram_mine": trigram_mine,
+        "clean_pipeline": clean_pipeline,
         "events_daily": events_daily,
+        "events_window": events_window,
         "sample_deterministic": sample_det,
+        "sample_seeded": sample_seeded,
         "exact_dup_groups": """SELECT md5(text) AS text_md5, count(*) AS n_dups,
  min(doc_id) AS keeper FROM documents GROUP BY md5(text)""",
         "ngram_jaccard": jaccard,
@@ -710,4 +1002,6 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "embedding_near_dup": near_dup,
         "fuzzy_suggest": fuzzy,
         "topn_per_group": topn,
+        "recommend_titles": recommend_titles,
+        "recommend_suggest": recommend_suggest,
     }

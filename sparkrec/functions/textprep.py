@@ -64,14 +64,20 @@ FR_STOPWORDS = (
 ).split()
 
 
-def normalize_expr(col: Column) -> Column:
+def normalize_expr(col: Column, lowercase: bool = True) -> Column:
     """Catalyst-only normalization: URL strip → header strip → punctuation →
-    lowercase → whitespace collapse. Mirrors clean stages 1-2."""
+    (lowercase) → whitespace collapse. Mirrors clean stages 1-2.
+
+    ``lowercase=False`` is the reference-faithful mode for the full
+    ``clean()`` pipeline: the reference lowercases per-token in stage 4
+    (data_utils.py:876-887), AFTER phrase mining, so phrases see surface
+    forms. The engine's tokenizer keeps the fused lowercase default."""
     c = F.regexp_replace(col, _URL_RE, " ")
     c = F.regexp_replace(c, _HEADER_RE, " ")
     c = F.translate(c, _TO_SPACE, "   ")
     c = F.translate(c, _TO_DELETE, "")
-    c = F.lower(c)
+    if lowercase:
+        c = F.lower(c)
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
 

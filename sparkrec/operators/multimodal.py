@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, mime string, "
-    "width int, height int, duration_ms int"
+    "n_bytes int, width int, height int, duration_ms int"
 )
 
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, feature array<float>"
@@ -48,11 +48,15 @@ def synth_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
     kind = F.when(F.col(id_col) % 3 == 0, "image").when(
         F.col(id_col) % 3 == 1, "audio"
     ).otherwise("video")
+    payload = F.encode(F.col(text_col), "utf-8")
     return docs.select(
         F.col(id_col).alias("media_id"),
         kind.alias("kind"),
-        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        payload.alias("payload"),
         F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        # blob size recorded as METADATA at ingest: metadata-only
+        # aggregates must never read payload bytes (media_metadata_stats)
+        F.length(payload).cast("int").alias("n_bytes"),
         (F.length(text_col) % 1920).cast("int").alias("width"),
         (F.length(text_col) % 1080).cast("int").alias("height"),
         (F.length(text_col) * 10).cast("int").alias("duration_ms"),
@@ -144,11 +148,12 @@ def sample_video_frames(media: DataFrame, every_n: int = 2) -> DataFrame:
 
 
 def media_metadata_stats(media: DataFrame) -> DataFrame:
-    """Metadata-only aggregate — projection excludes ``payload`` so the
-    parquet scan never touches the blob bytes (verify via ReadSchema in
-    .explain)."""
+    """Metadata-only aggregate — projection reads the ``n_bytes``
+    metadata column recorded at ingest and excludes ``payload``, so the
+    parquet scan never touches the blob bytes (ReadSchema asserted in
+    tests/test_plans.py)."""
     return (
-        media.select("kind", "duration_ms", F.length("payload").alias("n_bytes"))
+        media.select("kind", "duration_ms", "n_bytes")
         .groupBy("kind")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -145,21 +145,43 @@ def cosine_topk_lsh(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def banded_bucket_exprs(vec: Column, planes: np.ndarray, n_tables: int):
+    """``n_tables`` independent sign-pattern buckets (planes split into
+    bands, minhash-LSH style OR-construction): a pair is a candidate when
+    it agrees on ALL planes of ANY one band. More tables ⇒ higher recall
+    at linear signature cost."""
+    per = len(planes) // n_tables
+    return [
+        lsh_bucket_expr(vec, planes[t * per: (t + 1) * per])
+        for t in range(n_tables)
+    ]
+
+
 def near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,
     dim: int | None = None,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 4,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exact: bool = False,
+    exact_max_rows: int = 200_000,
 ) -> DataFrame:
     """(vec_a, vec_b, cos ≥ threshold) embedding near-duplicates.
 
-    exact=True: all-pairs within the full table (O(N²) — only for oracle
-    comparison at small scale). Default: pairs restricted to shared LSH
-    buckets, making the join linear in bucket sizes.
+    Default (the 100 TB path): banded multi-table LSH — ``n_tables``
+    independent buckets of ``n_planes`` hyperplanes each; candidate
+    pairs share ≥1 (table, bucket) key, found by a self-join on that key
+    (``shuffle_hash``-hinted: both sides are corpus-sized). Shuffle
+    volume is n_tables rows/vector; quadratic work only inside a bucket.
+    Recall < 1 by construction — measured against the exact path in
+    tests/test_simsearch_recall.py.
+
+    exact=True: all-pairs O(N²) crossJoin for small-N oracle comparison
+    ONLY — guarded by ``exact_max_rows`` (one count action) so the
+    quadratic path cannot silently reach production scale.
     """
     e = with_norm(emb, vec_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "_norm"
@@ -167,19 +189,33 @@ def near_dup_pairs(
     if not exact:
         if dim is None:
             raise ValueError("dim required for LSH mode")
-        planes = _hyperplanes(dim, n_planes, seed)
-        e = e.withColumn("bucket", lsh_bucket_expr(F.col("_v"), planes))
-        join_keys = ["bucket"]
+        planes = _hyperplanes(dim, n_planes * n_tables, seed)
+        buckets = banded_bucket_exprs(F.col("_v"), planes, n_tables)
+        e = e.withColumn(
+            "tb",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ])
+            ),
+        ).select("_id", "_v", "_norm", "tb.tbl", "tb.bucket")
         a = e.select(
             F.col("_id").alias("vec_a"), F.col("_v").alias("va"),
-            F.col("_norm").alias("na"), "bucket",
+            F.col("_norm").alias("na"), "tbl", "bucket",
         )
         b = e.select(
             F.col("_id").alias("vec_b"), F.col("_v").alias("vb"),
-            F.col("_norm").alias("nb"), "bucket",
+            F.col("_norm").alias("nb"), "tbl", "bucket",
         )
-        pairs = a.join(b, join_keys)
+        pairs = a.join(b.hint("shuffle_hash"), ["tbl", "bucket"])
     else:
+        n = emb.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"exact near-dup is O(N²); {n} rows > exact_max_rows="
+                f"{exact_max_rows} — use the LSH path at scale"
+            )
         a = e.select(
             F.col("_id").alias("vec_a"), F.col("_v").alias("va"),
             F.col("_norm").alias("na"),

@@ -128,10 +128,37 @@ def test_media_metadata_stats_never_reads_payload(spark, tmp_path):
     p = plan(agg)
     read_schema = [l for l in p.splitlines() if "ReadSchema" in l]
     assert read_schema and all("payload" not in l for l in read_schema), read_schema
-    # and the full helper reads payload length but still prunes mime/width
+    # the helper reads the n_bytes METADATA column (recorded at ingest),
+    # so its scan must exclude the payload blob AND prune mime/width
     p2 = plan(media_metadata_stats(media))
     rs2 = [l for l in p2.splitlines() if "ReadSchema" in l]
-    assert rs2 and all("mime" not in l and "width" not in l for l in rs2), rs2
+    assert rs2 and all(
+        "payload" not in l and "mime" not in l and "width" not in l
+        for l in rs2
+    ), rs2
+
+
+def test_embedding_near_dup_plan_has_no_quadratic_join(spark):
+    """The near-dup contract entry is the banded-LSH path: its plan must
+    contain no cartesian/nested-loop join and no auto-broadcast of the
+    corpus-sized band table — the candidate join is a shuffled hash join
+    on (tbl, bucket)."""
+    from sparkrec.operators.simsearch import near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = near_dup_pairs(emb, threshold=0.4, dim=64, n_planes=4, n_tables=4)
+    p = plan(out)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "ShuffledHashJoin" in p
+
+
+def test_exact_near_dup_guarded_against_scale(spark):
+    from sparkrec.operators.simsearch import near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with pytest.raises(ValueError, match="O\\(N²\\)|exact_max_rows"):
+        near_dup_pairs(emb, threshold=0.4, exact=True, exact_max_rows=3)
 
 
 def test_assembly_orders_inside_aggregation_no_global_sort(spark):
