@@ -1,0 +1,170 @@
+"""WikilinkNN training-data generation (SURVEY.md §2.4 J5).
+
+The reference's ``_wikilink_nn`` (model.py:386-560) trains a Keras
+dot-product embedding over (article, link) pairs. The NETWORK is a
+single-node Keras fit and stays out of scope (SURVEY §7); what a data
+engine owes that pipeline is the part that touches the corpus:
+
+- positive pairs (model.py:424-462): per-article DISTINCT links →
+  lowercase → boilerplate drop → keep links with corpus count ≥ 4
+  ("desired links") → dense ``link_index`` → one (article, link) pair
+  per raw link occurrence whose lowercase form is desired. NOTE the
+  reference iterates RAW ``article_links`` when emitting pairs, so a
+  link repeated inside one article yields repeated pairs (multiplicity
+  preserved here too); only the ≥4 count uses per-article distinct.
+- negative sampling (model.py:495-533): random (article, link) pairs
+  rejected against the positive set. The reference uses
+  ``random.SystemRandom`` (irreproducible by design); here the stream is
+  a seeded LCG — pure 64-bit integer arithmetic, so the SAME stream is
+  reproducible in any engine (the DuckDB oracle twin replays it
+  bit-for-bit) and on any cluster size. Candidates are generated as a
+  ``spark.range`` map (no driver loop), rejected with one left-anti
+  join against DISTINCT positives (the ``pairs_set`` check), and the
+  first ``k`` surviving indices are kept — order-deterministic at any
+  parallelism.
+
+Index-identity note (J2/J4): the reference keys articles by their
+positional index in file order (``article_index``); here articles carry
+explicit ids (``doc_id``), replacing positional identity with keyed
+identity. ``link_index`` is dense by (count desc, link asc) — the
+reference's count-desc sort made deterministic by the asc tie-break
+(Counter insertion order is corpus-order-dependent; divergence
+documented).
+
+Scale: desired-links is vocabulary-sized → broadcast into the pair join;
+negative rejection shuffles candidate-count rows on uniform (art, link)
+keys. No driver-side materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparkrec.operators.recommend import wikilink_frequencies
+
+# Seeded quadratic mixer mod the Mersenne prime 2^31−1: u = mix(seed, i)
+# (linear), then SQUARED mod M before the final Lehmer step — the
+# squaring is the nonlinearity that kills the low-bit/arithmetic-
+# progression structure a plain LCG stream has (power-of-2-modulus LCGs
+# have constant-parity low bits; prime-modulus linear streams are
+# arithmetic progressions whose small-modulus residues run in long
+# constant runs). Every intermediate fits signed 64-bit ((M−1)² < 2^62),
+# so Spark with ANSI overflow checks and DuckDB BIGINT arithmetic
+# reproduce the stream bit-for-bit.
+_MIX = 2654435761          # Knuth multiplicative-hash constant
+_LEHMER_A = 48271          # MINSTD multiplier
+_LEHMER_C = 12345
+_M31 = (1 << 31) - 1
+
+
+def _draw(seed: int, i, offset: int):
+    """Column expr: pseudo-random BIGINT in [0, M31) for candidate i.
+    ``i`` may be a Column or int; pure +,*,% so the DuckDB twin is the
+    same formula verbatim."""
+    u = (F.lit(seed % _M31) + (i * 2 + offset) * _MIX) % _M31
+    v = (u * u) % _M31
+    return (v * _LEHMER_A + _LEHMER_C) % _M31
+
+
+def link_index(
+    corpus: DataFrame,
+    min_count: int = 4,
+    links_col: str = "wikilinks",
+) -> DataFrame:
+    """(link, link_idx, cnt): dense 0-based ids for desired links,
+    ordered by (cnt desc, link asc). The desired-link set is
+    vocabulary-sized (≥4 filter), so the single-partition ranking window
+    is bounded; at 100 TB the heavy work is the count in
+    ``wikilink_frequencies`` (one shuffle), not this ranking."""
+    freqs = wikilink_frequencies(corpus, min_count=min_count, links_col=links_col)
+    w = Window.orderBy(F.desc("cnt"), F.asc("link"))
+    return freqs.select(
+        "link", (F.row_number().over(w) - 1).alias("link_idx"), "cnt"
+    )
+
+
+def wikilink_pairs(
+    corpus: DataFrame,
+    min_count: int = 4,
+    id_col: str = "doc_id",
+    links_col: str = "wikilinks",
+) -> DataFrame:
+    """Positive training pairs (article, link_idx, link) with the
+    reference's multiplicity semantics (model.py:449-462).
+
+    Plan: explode raw links (map-only) → lower → broadcast-join the
+    desired-link index (vocabulary-sized). Zero corpus-sized shuffles."""
+    links = corpus.select(
+        F.col(id_col).alias("article"),
+        F.explode(links_col).alias("link"),
+    ).select("article", F.lower("link").alias("link"))
+    idx = link_index(corpus, min_count=min_count, links_col=links_col)
+    return links.join(F.broadcast(idx), "link").select(
+        "article", "link_idx", "link"
+    )
+
+
+def negative_sample_pairs(
+    spark: SparkSession,
+    positives: DataFrame,
+    n_articles: int,
+    n_links: int,
+    k: int,
+    seed: int = 42,
+    oversample: int = 4,
+) -> DataFrame:
+    """First ``k`` seeded pseudo-random (article, link_idx) draws that
+    are NOT positive pairs — the distributed restatement of the
+    reference's rejection loop (model.py:512-525), labeled 0.
+
+    Each candidate i derives two independent quadratic-mixer draws from
+    (seed, i); rejection is one left-anti join against distinct
+    positives; ``cand_idx`` ordering makes "first k" deterministic at
+    any parallelism. ``oversample`` bounds the candidate stream at
+    k·oversample (positives are sparse in the article×link grid, so a
+    small factor suffices; callers needing a guarantee re-call with a
+    larger factor)."""
+    cand = spark.range(k * oversample).select(
+        F.col("id").alias("cand_idx"),
+        (_draw(seed, F.col("id"), 1) % n_articles).alias("article"),
+        (_draw(seed, F.col("id"), 2) % n_links).alias("link_idx"),
+    )
+    pos = positives.select("article", "link_idx").distinct()
+    kept = cand.join(pos, ["article", "link_idx"], "left_anti")
+    w = Window.orderBy("cand_idx")
+    return (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("cand_idx", "article", "link_idx", F.lit(0).alias("label"))
+    )
+
+
+def training_pairs(
+    spark: SparkSession,
+    corpus: DataFrame,
+    negative_ratio: float = 2.0,
+    min_count: int = 4,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    links_col: str = "wikilinks",
+) -> DataFrame:
+    """Full labeled training set: positives (label 1) ∪ seeded negatives
+    (label 0, ``negative_ratio``× the positive count) — what the
+    reference's ``_generate_batch`` yields per epoch, as one DataFrame a
+    downstream trainer (Spark ML, Horovod, or single-node) can consume."""
+    pos = wikilink_pairs(
+        corpus, min_count=min_count, id_col=id_col, links_col=links_col
+    ).cache()
+    n_pos = pos.count()
+    n_articles = corpus.select(id_col).distinct().count()
+    n_links = pos.agg(F.max("link_idx")).collect()[0][0]
+    n_links = (n_links or 0) + 1
+    neg = negative_sample_pairs(
+        spark, pos, n_articles, n_links, k=int(n_pos * negative_ratio),
+        seed=seed,
+    )
+    out = pos.select("article", "link_idx", F.lit(1).alias("label")).unionByName(
+        neg.select("article", "link_idx", "label")
+    )
+    return out

@@ -1,0 +1,135 @@
+"""WikilinkNN training-pair generation (J5) vs a pure-Python reference
+twin implementing model.py:424-462 semantics, plus determinism of the
+seeded LCG negative sampler.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from sparkrec.operators.recommend import WIKILINK_BOILERPLATE
+from sparkrec.operators.wikilink_nn import (
+    _LEHMER_A,
+    _LEHMER_C,
+    _M31,
+    _MIX,
+    link_index,
+    negative_sample_pairs,
+    training_pairs,
+    wikilink_pairs,
+)
+
+# (doc_id, wikilinks): dup link inside doc 0 (multiplicity check),
+# boilerplate in doc 2, case variants, a link below the ≥3 cutoff.
+ARTICLES = [
+    (0, ["Alpha", "Beta", "alpha", "Alpha"]),
+    (1, ["Beta", "Gamma", "Hardcover"]),
+    (2, ["ALPHA", "Beta", "hardcover", "Rare"]),
+    (3, ["alpha", "beta"]),
+    (4, ["Gamma", "Beta"]),
+    # articles without desired links: widen the negative-sampling grid
+    (5, ["Solo5"]),
+    (6, ["Solo6"]),
+    (7, []),
+    (8, ["Solo8"]),
+    (9, []),
+]
+MIN_COUNT = 3
+
+
+def _twin():
+    """model.py:424-462 in plain Python (keyed by doc_id, count-desc +
+    link-asc link index — the documented determinism choices)."""
+    links_flat = []
+    for _, links in ARTICLES:
+        links_flat.extend({l for l in links})  # per-article distinct
+    lowered = [l.lower() for l in links_flat]
+    lowered = [l for l in lowered if l not in WIKILINK_BOILERPLATE]
+    counts = Counter(lowered)
+    desired = [l for l, c in counts.items() if c >= MIN_COUNT]
+    desired.sort(key=lambda l: (-counts[l], l))
+    link_idx = {l: i for i, l in enumerate(desired)}
+    pairs = []
+    for doc_id, links in ARTICLES:
+        for l in links:  # RAW links: multiplicity preserved
+            if l.lower() in link_idx:
+                pairs.append((doc_id, link_idx[l.lower()]))
+    return counts, desired, link_idx, pairs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = spark.createDataFrame(ARTICLES, "doc_id long, wikilinks array<string>")
+    return df.repartition(4).cache()
+
+
+def test_link_index_matches_twin(spark, corpus):
+    counts, desired, link_idx, _ = _twin()
+    rows = link_index(corpus, min_count=MIN_COUNT).collect()
+    got = {r["link"]: (r["link_idx"], r["cnt"]) for r in rows}
+    assert got == {l: (link_idx[l], counts[l]) for l in desired}
+
+
+def test_wikilink_pairs_multiplicity_matches_twin(spark, corpus):
+    _, _, _, pairs = _twin()
+    rows = wikilink_pairs(corpus, min_count=MIN_COUNT).collect()
+    got = sorted((r["article"], r["link_idx"]) for r in rows)
+    assert got == sorted(pairs)
+    # doc 0 lists alpha three times raw → three (0, idx_alpha) pairs
+    _, _, link_idx, _ = _twin()
+    assert got.count((0, link_idx["alpha"])) == 3
+
+
+def _draw_twin(seed, i, offset):
+    u = (seed % _M31 + (i * 2 + offset) * _MIX) % _M31
+    v = (u * u) % _M31
+    return (v * _LEHMER_A + _LEHMER_C) % _M31
+
+
+def _lcg_twin(seed, n, n_articles, n_links):
+    return [
+        (
+            i,
+            _draw_twin(seed, i, 1) % n_articles,
+            _draw_twin(seed, i, 2) % n_links,
+        )
+        for i in range(n)
+    ]
+
+
+def test_negative_sampler_matches_twin_and_excludes_positives(spark, corpus):
+    pos = wikilink_pairs(corpus, min_count=MIN_COUNT)
+    pos_set = {(r["article"], r["link_idx"]) for r in pos.collect()}
+    k, n_articles, n_links, seed = 6, 5, 2, 17
+    got = negative_sample_pairs(
+        spark, pos, n_articles, n_links, k=k, seed=seed
+    ).collect()
+    assert len(got) == k
+    assert all(r["label"] == 0 for r in got)
+    assert not any((r["article"], r["link_idx"]) in pos_set for r in got)
+    twin = [
+        t for t in _lcg_twin(seed, k * 4, n_articles, n_links)
+        if (t[1], t[2]) not in pos_set
+    ][:k]
+    assert sorted((r["cand_idx"], r["article"], r["link_idx"]) for r in got) == twin
+
+
+def test_negative_sampler_parallelism_invariant(spark, corpus):
+    pos = wikilink_pairs(corpus, min_count=MIN_COUNT)
+    a = negative_sample_pairs(spark, pos, 5, 2, k=5, seed=3).collect()
+    b = negative_sample_pairs(
+        spark, pos.repartition(7), 5, 2, k=5, seed=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_training_pairs_ratio_and_labels(spark, corpus):
+    out = training_pairs(spark, corpus, negative_ratio=2.0, min_count=MIN_COUNT)
+    rows = out.collect()
+    n_pos = sum(1 for r in rows if r["label"] == 1)
+    n_neg = sum(1 for r in rows if r["label"] == 0)
+    _, _, _, pairs = _twin()
+    assert n_pos == len(pairs)
+    assert n_neg == 2 * n_pos
