@@ -65,6 +65,16 @@ EMB_DIM = 64
 REC_INPUTS = ["doc 42", "doc 7"]
 REC_RATINGS = [8.0, 6.0]
 REC_MISSED = "doc 9x7"
+# wikilink training pairs: links synthesized as tokens of length >= 6
+# (deterministic, SQL-expressible), reference >=4 count cutoff
+WL_LINK_LEN = 6
+WL_MIN_COUNT = 4
+WL_NEG_K = 100
+WL_NEG_SEED = 11
+# wikixml roundtrip: tokens of length >= 8 become [[links]] in the dump
+XML_LINK_LEN = 8
+# tfidf more-like-this
+TFIDF_QUERY_DOC = 42
 
 
 # ---------------------------------------------------------------------------
@@ -501,7 +511,167 @@ def q_topn_per_group(spark, sf_dir):
     )
 
 
+def _linked_docs(spark, sf_dir):
+    """documents + synthesized wikilinks: every token of length >=
+    WL_LINK_LEN is a link occurrence (raw multiplicity, already
+    lowercase) — deterministic and reproducible in the SQL twin."""
+    return _doc_tokens(spark, sf_dir).select(
+        "doc_id",
+        F.filter("tokens", lambda t: F.length(t) >= WL_LINK_LEN).alias(
+            "wikilinks"
+        ),
+    )
+
+
+def q_wikilink_pairs(spark, sf_dir):
+    """J5 positives: (article, link_idx, link) with the reference's
+    multiplicity / distinct-count / >=4 semantics (model.py:424-462)."""
+    from sparkrec.operators.wikilink_nn import wikilink_pairs
+
+    return wikilink_pairs(_linked_docs(spark, sf_dir), min_count=WL_MIN_COUNT)
+
+
+def q_wikilink_negatives(spark, sf_dir):
+    """J5 negative sampling: first WL_NEG_K seeded quadratic-mixer draws
+    that miss the positive set — the DuckDB twin replays the identical
+    integer arithmetic, so the value-hash compare is exact."""
+    from sparkrec.operators.wikilink_nn import (
+        link_index, negative_sample_pairs, wikilink_pairs,
+    )
+
+    docs = _linked_docs(spark, sf_dir)
+    pos = wikilink_pairs(docs, min_count=WL_MIN_COUNT)
+    n_articles = 500
+    n_links = link_index(docs, min_count=WL_MIN_COUNT).count()
+    return negative_sample_pairs(
+        spark, pos, n_articles, n_links, k=WL_NEG_K, seed=WL_NEG_SEED
+    )
+
+
+def q_tfidf_cosine_recs(spark, sf_dir):
+    """A7 tfidf: sklearn-semantics sparse TF-IDF + more-like-this cosine
+    top-k for one query doc — the gen_embeddings('tfidf') →
+    gen_sim_matrix → recommend chain as one relational query."""
+    from sparkrec.operators.embeddings import tfidf_cosine_topk, tfidf_vectors
+
+    vec = tfidf_vectors(_doc_tokens(spark, sf_dir))
+    return tfidf_cosine_topk(vec, [TFIDF_QUERY_DOC], TOP_K).drop("query_doc")
+
+
+def _entry_xml_path(spark, sf_dir) -> str:
+    """Fixture: the documents table serialized as a mediawiki dump, with
+    every token of length >= XML_LINK_LEN wrapped as a [[wikilink]].
+    Written once per sf_dir (skip-if-exists memo, driver-side — fixture
+    generation at contract scale; real dumps arrive as files)."""
+    import sparkrec.sources.wikixml as wx
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join("/tmp", f"sparkrec_entry_xml_v1_{tag}")
+    path = os.path.join(root, "dump.xml")
+    if not os.path.exists(path):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            _documents(spark, sf_dir)
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        pages = []
+        for r in rows:
+            words = [
+                f"[[{w}]]" if len(w) >= XML_LINK_LEN else w
+                for w in r["text"].split(" ")
+            ]
+            pages.append(
+                (f"doc {r['doc_id']}", 0, int(r["doc_id"]), " ".join(words))
+            )
+        tmp = path + ".tmp"
+        wx.write_pages_xml(pages, tmp)
+        os.rename(tmp, path)
+    return path
+
+
+def q_wikixml_roundtrip(spark, sf_dir):
+    """S2: dump scan → page parse must reproduce every document exactly
+    — text_match compares the parsed text against the expected link
+    injection recomputed independently in Spark (and in the twin)."""
+    from sparkrec.sources.wikixml import read_wiki_dump
+
+    path = _entry_xml_path(spark, sf_dir)
+    pages = read_wiki_dump(spark, path).select(
+        F.col("page_id").alias("doc_id"), "title", "text",
+        F.size("wikilinks").alias("n_links"),
+    )
+    expected = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("text", " "),
+                lambda w: F.when(
+                    F.length(w) >= XML_LINK_LEN,
+                    F.concat(F.lit("[["), w, F.lit("]]")),
+                ).otherwise(w),
+            ),
+            " ",
+        ).alias("exp_text"),
+    )
+    return pages.join(expected, "doc_id").select(
+        "doc_id", "title", "n_links",
+        (F.col("text") == F.col("exp_text")).cast("int").alias("text_match"),
+    )
+
+
 # --- rows-only entries (no ANSI-SQL twin) ----------------------------------
+
+
+def q_doc2vec_topk(spark, sf_dir):
+    """A7 doc2vec: distributed Word2Vec doc embeddings → brute cosine
+    top-k for one query doc (rows-only: distributed skip-gram training
+    is not SQL-expressible; invariants in tests/test_embeddings.py)."""
+    from sparkrec.operators.embeddings import doc2vec_embeddings
+    from sparkrec.operators.simsearch import cosine_topk
+
+    emb = doc2vec_embeddings(
+        _doc_tokens(spark, sf_dir), vector_size=16, seed=42
+    ).cache()
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("doc_id") == TFIDF_QUERY_DOC)
+        .collect()[0]["embedding"]
+    ]
+    return cosine_topk(
+        emb.filter(F.col("doc_id") != TFIDF_QUERY_DOC), qv, TOP_K,
+        id_col="doc_id",
+    )
+
+
+def q_lda_doc_topics(spark, sf_dir):
+    """A6: online-VB LDA doc-topic distributions (rows-only; structural
+    invariants in tests/test_topics.py)."""
+    from sparkrec.operators.topics import fit_lda
+
+    _, doc_topics = fit_lda(
+        _doc_tokens(spark, sf_dir), num_topics=5, seed=42, max_iter=3
+    )
+    return doc_topics.select(
+        "doc_id",
+        F.expr(
+            "array_position(embedding, array_max(embedding))"
+        ).cast("int").alias("top_topic"),
+        F.round(F.array_max("embedding"), 4).alias("top_weight"),
+    )
+
+
+def q_lda_topic_evals(spark, sf_dir):
+    """T9: stability/coherence per candidate topic count + the ideal
+    argmax (reference utils.py:60-232 selection rule)."""
+    from sparkrec.operators.topics import topic_evals
+
+    return topic_evals(
+        _doc_tokens(spark, sf_dir),
+        topic_nums_to_compare=[2, 4], seed=42, max_iter=2,
+    )
+
 
 def q_simhash_near(spark, sf_dir):
     from sparkrec.operators.dedup import simhash_near_pairs, simhash_signatures
@@ -597,7 +767,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topn_per_group": q_topn_per_group,
         "recommend_titles": q_recommend_titles,
         "recommend_suggest": q_recommend_suggest,
+        "wikilink_pairs": q_wikilink_pairs,
+        "wikilink_negatives": q_wikilink_negatives,
+        "tfidf_cosine_recs": q_tfidf_cosine_recs,
+        "wikixml_roundtrip": q_wikixml_roundtrip,
         # rows-only (no SQL-expressible oracle):
+        "doc2vec_topk": q_doc2vec_topk,
+        "lda_doc_topics": q_lda_doc_topics,
+        "lda_topic_evals": q_lda_topic_evals,
         "stemmed": q_stemmed,
         "simhash_near": q_simhash_near,
         "minhash_pairs": q_minhash_pairs,
@@ -968,6 +1145,72 @@ SELECT '{REC_MISSED}' AS missed_input, title,
         / greatest(length(title), {len(REC_MISSED)}, 1), 6) AS similarity
 FROM titled ORDER BY similarity DESC, title LIMIT 5"""
 
+    # --- wikilink pairs / negatives (J5) -----------------------------------
+    from sparkrec.operators.recommend import WIKILINK_BOILERPLATE
+    from sparkrec.operators.wikilink_nn import _LEHMER_A, _LEHMER_C, _M31, _MIX
+
+    bl = ", ".join(f"'{w}'" for w in WIKILINK_BOILERPLATE)
+    wl_ctes = f"""{_TOKS_CTE},
+links AS (SELECT doc_id, unnest(list_filter(tokens, t -> len(t) >= {WL_LINK_LEN}))
+          AS link FROM toks),
+dlinks AS (SELECT DISTINCT doc_id, link FROM links),
+cnts AS (SELECT link, count(*) AS cnt FROM dlinks
+         WHERE link NOT IN ({bl})
+         GROUP BY link HAVING count(*) >= {WL_MIN_COUNT}),
+idx AS (SELECT link,
+               (row_number() OVER (ORDER BY cnt DESC, link) - 1)::INTEGER
+               AS link_idx FROM cnts)"""
+
+    wikilink_pairs_sql = f"""WITH {wl_ctes}
+SELECT l.doc_id AS article, i.link_idx, l.link
+FROM links l JOIN idx i USING (link)"""
+
+    s0 = WL_NEG_SEED % _M31
+    wikilink_negatives = f"""WITH {wl_ctes},
+pos AS (SELECT DISTINCT l.doc_id AS article, i.link_idx::BIGINT AS link_idx
+        FROM links l JOIN idx i USING (link)),
+draws AS (SELECT i,
+    ({s0} + (i*2 + 1) * {_MIX}) % {_M31} AS u1,
+    ({s0} + (i*2 + 2) * {_MIX}) % {_M31} AS u2
+  FROM range({WL_NEG_K * 4}) t(i)),
+cand AS (SELECT i AS cand_idx,
+    ((u1*u1 % {_M31}) * {_LEHMER_A} + {_LEHMER_C}) % {_M31} % 500 AS article,
+    ((u2*u2 % {_M31}) * {_LEHMER_A} + {_LEHMER_C}) % {_M31}
+      % (SELECT count(*) FROM cnts) AS link_idx
+  FROM draws)
+SELECT cand_idx, article, link_idx, 0 AS label
+FROM (SELECT c.* FROM cand c LEFT JOIN pos p
+      ON c.article = p.article AND c.link_idx = p.link_idx
+      WHERE p.article IS NULL)
+ORDER BY cand_idx LIMIT {WL_NEG_K}"""
+
+    # --- tfidf more-like-this (A7) -----------------------------------------
+    tfidf_recs = f"""WITH {_TF_CTES},
+nd AS (SELECT count(*) AS n_docs FROM toks),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + nd.n_docs) / (1.0 + dfq.df)) + 1.0) AS w
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS norm FROM w GROUP BY doc_id),
+v AS (SELECT w.doc_id, w.term, w.w / nrm.norm AS weight
+      FROM w JOIN nrm USING (doc_id)),
+q AS (SELECT term, weight AS qw FROM v WHERE doc_id = {TFIDF_QUERY_DOC}),
+cs AS (SELECT v.doc_id, round(sum(v.weight * q.qw), 6) AS cos
+       FROM v JOIN q USING (term)
+       WHERE v.doc_id != {TFIDF_QUERY_DOC} GROUP BY v.doc_id)
+SELECT rank, doc_id, cos FROM (
+  SELECT doc_id, cos,
+         row_number() OVER (ORDER BY cos DESC, doc_id)::INTEGER AS rank
+  FROM cs) WHERE rank <= {TOP_K}"""
+
+    # --- wikixml roundtrip (S2) --------------------------------------------
+    wikixml_roundtrip = f"""SELECT doc_id,
+  'doc ' || doc_id::VARCHAR AS title,
+  len(list_filter(string_split(text, ' '), w -> len(w) >= {XML_LINK_LEN}))::INTEGER
+    AS n_links,
+  1 AS text_match
+FROM documents"""
+
     topn = """SELECT user_id, event_id, value FROM (
   SELECT user_id, event_id, value,
          row_number() OVER (PARTITION BY user_id
@@ -1004,4 +1247,8 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "topn_per_group": topn,
         "recommend_titles": recommend_titles,
         "recommend_suggest": recommend_suggest,
+        "wikilink_pairs": wikilink_pairs_sql,
+        "wikilink_negatives": wikilink_negatives,
+        "tfidf_cosine_recs": tfidf_recs,
+        "wikixml_roundtrip": wikixml_roundtrip,
     }

@@ -51,13 +51,36 @@ class LdaFit:
 
 
 def _bow(tokenized: DataFrame, vocab_size: int, min_df: float):
-    from pyspark.ml.feature import CountVectorizer
+    """Deterministic bag-of-words: CountVectorizer.fit orders equal-count
+    vocabulary entries arbitrarily (task-completion order), which
+    perturbs LDA initialization run-to-run. Build the vocabulary with an
+    explicit (total count desc, term asc) ordering instead and load it
+    via ``CountVectorizerModel.from_vocabulary`` — transform stays JVM/
+    sparse. The driver-side vocab list is free at scale: LDA itself
+    keeps a K×V topic matrix on the driver, so V is already bounded by
+    LDA feasibility (use vocab_size/min_df to prune)."""
+    from pyspark.ml.feature import CountVectorizerModel
 
-    cv = CountVectorizer(
-        inputCol="tokens", outputCol="_features",
-        vocabSize=vocab_size, minDF=min_df,
+    terms = tokenized.select(F.explode("tokens").alias("term")).groupBy(
+        "term"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    if min_df > 1.0:
+        docfreq = (
+            tokenized.select(
+                "doc_id", F.explode(F.array_distinct("tokens")).alias("term")
+            )
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_df)
+        )
+        terms = terms.join(docfreq, "term")
+    rows = (
+        terms.orderBy(F.desc("cnt"), F.asc("term")).limit(vocab_size).collect()
     )
-    cv_model = cv.fit(tokenized)
+    vocab = [r["term"] for r in rows]
+    cv_model = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="tokens", outputCol="_features"
+    )
     return cv_model, cv_model.transform(tokenized)
 
 
