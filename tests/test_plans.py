@@ -171,3 +171,51 @@ def test_assembly_orders_inside_aggregation_no_global_sort(spark):
     p = plan(assemble_docs(t).select("conv_id", "text"), "simple")
     assert "+- Sort" not in p and "SortAggregate" not in p
     assert p.count("Exchange") == 1
+
+
+def test_tfidf_cosine_plan_broadcasts_query_side(spark):
+    """TF-IDF more-like-this: the |queries|·terms side must broadcast
+    into the corpus vector relation — never a cartesian/NL join; the
+    only big shuffles are the tf/df/norm aggregations (term- and
+    doc-keyed)."""
+    from sparkrec.operators.embeddings import tfidf_cosine_topk, tfidf_vectors
+    from sparkrec.functions.sqltok import sql_tokenize_expr
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select("doc_id", sql_tokenize_expr(F.col("text")).alias("tokens"))
+    p = plan(tfidf_cosine_topk(tfidf_vectors(toks), [0], 5))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+
+
+def test_wikilink_pairs_plan_broadcasts_link_index(spark):
+    """Positive-pair generation: the vocabulary-sized link index joins
+    broadcast against the exploded corpus links; no per-row Python."""
+    from sparkrec.operators.wikilink_nn import negative_sample_pairs, wikilink_pairs
+
+    corpus = spark.createDataFrame(
+        [(0, ["a", "b"]), (1, ["a"]), (2, ["a", "b"]), (3, ["a", "b", "b"])],
+        "doc_id long, wikilinks array<string>",
+    )
+    pos = wikilink_pairs(corpus, min_count=2)
+    p = plan(pos)
+    assert "BroadcastHashJoin" in p
+    assert "BatchEvalPython" not in p
+    # negative sampler: a Range scan + left-anti join, all JVM-side
+    p2 = plan(negative_sample_pairs(spark, pos, 4, 2, k=4, seed=1))
+    assert "Range" in p2
+    assert "BatchEvalPython" not in p2 and "EvalPython" not in p2
+
+
+def test_wikixml_parse_is_arrow_vectorized(spark, tmp_path):
+    """Dump parsing crosses into Python ONCE, Arrow-batched (MapInPandas)
+    — never the per-row BatchEvalPython node."""
+    from sparkrec.sources.wikixml import read_wiki_dump, write_pages_xml
+
+    path = str(tmp_path / "p.xml")
+    write_pages_xml([("T", 0, 1, "x [[Y]]")], path)
+    p = plan(read_wiki_dump(spark, path))
+    assert "MapInPandas" in p
+    assert "BatchEvalPython" not in p
