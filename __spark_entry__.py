@@ -463,6 +463,35 @@ def q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def q_euclidean_topk(spark, sf_dir):
+    """gen_sim_matrix(metric='euclidean') + row scan: nearest-ascending
+    L2 top-k (reference ranks distances descending — divergence
+    documented in simsearch.euclidean_topk)."""
+    from sparkrec.operators.simsearch import euclidean_topk
+
+    emb = _read_wide(spark, sf_dir, "embeddings")
+    return euclidean_topk(
+        emb.filter(F.col("vec_id") != 0), _query_vec(spark, sf_dir), TOP_K
+    )
+
+
+EMB_REC_INPUTS = ["doc 3", "doc 5"]
+EMB_REC_RATINGS = [9.0, 4.0]
+
+
+def q_recommend_embeddings(spark, sf_dir):
+    """Embedding-method recommend chain (gen_embeddings → gen_sim_matrix
+    → recommend) with the order-dependent ratings fold, cosine metric."""
+    from sparkrec.operators.simsearch import recommend_embeddings
+
+    emb = _read_wide(spark, sf_dir, "embeddings").withColumn(
+        "title", F.concat(F.lit("doc "), F.col("vec_id").cast("string"))
+    )
+    return recommend_embeddings(
+        emb, EMB_REC_INPUTS, EMB_REC_RATINGS, n=TOP_K, metric="cosine"
+    )
+
+
 def _rec_docs(spark, sf_dir):
     """documents + synthesized unique titles + sql-parity tokens."""
     return _doc_tokens(spark, sf_dir).withColumn(
@@ -762,6 +791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "fingerprints": q_fingerprints,
         "cosine_topk": q_cosine_topk,
+        "euclidean_topk": q_euclidean_topk,
+        "recommend_embeddings": q_recommend_embeddings,
         "embedding_near_dup": q_embedding_near_dup,
         "fuzzy_suggest": q_fuzzy_suggest,
         "topn_per_group": q_topn_per_group,
@@ -1061,6 +1092,37 @@ SELECT vec_id, cos FROM (
   FROM agg CROSS JOIN qn)
 ORDER BY cos DESC, vec_id LIMIT {TOP_K}"""
 
+    euclidean = f"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+parts AS (SELECT e.vec_id, unnest(e.v) AS x, unnest(q.qv) AS y
+          FROM e CROSS JOIN q WHERE e.vec_id != 0),
+agg AS (SELECT vec_id, round(sqrt(sum((x - y) * (x - y))), 6) AS dist
+        FROM parts GROUP BY vec_id)
+SELECT vec_id, dist FROM agg ORDER BY dist, vec_id LIMIT {TOP_K}"""
+
+    w0e, w1e = (r / 10.0 for r in EMB_REC_RATINGS)
+    in0, in1 = (int(t.split(" ")[1]) for t in EMB_REC_INPUTS)
+    recommend_emb = f"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q0 AS (SELECT v AS qv FROM e WHERE vec_id = {in0}),
+q1 AS (SELECT v AS qv FROM e WHERE vec_id = {in1}),
+s0 AS (SELECT e.vec_id, round(list_dot_product(e.v, q0.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q0.qv, q0.qv))), 6) AS cos
+       FROM e CROSS JOIN q0),
+s1 AS (SELECT e.vec_id, round(list_dot_product(e.v, q1.qv)
+        / (sqrt(list_dot_product(e.v, e.v))
+           * sqrt(list_dot_product(q1.qv, q1.qv))), 6) AS cos
+       FROM e CROSS JOIN q1),
+folded AS (SELECT s0.vec_id,
+        (1.0 * ({w0e} * s0.cos) + {w1e} * s1.cos) / 2.0 AS raw
+    FROM s0 JOIN s1 USING (vec_id))
+SELECT 'doc ' || vec_id::VARCHAR AS title, score FROM (
+  SELECT vec_id, round(raw, 6) AS score FROM folded
+  WHERE vec_id NOT IN ({in0}, {in1}))
+ORDER BY score DESC, vec_id LIMIT {TOP_K}"""
+
     # banded-LSH near-dup twin: SAME hyperplane literals, SAME bucketing
     # rule as the Spark path — the oracle reproduces the LSH candidate
     # generation exactly, so the hash compare is exact despite recall<1.
@@ -1242,6 +1304,8 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "quality": quality,
         "fingerprints": fingerprints,
         "cosine_topk": cosine,
+        "euclidean_topk": euclidean,
+        "recommend_embeddings": recommend_emb,
         "embedding_near_dup": near_dup,
         "fuzzy_suggest": fuzzy,
         "topn_per_group": topn,

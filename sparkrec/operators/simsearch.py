@@ -75,6 +75,129 @@ def cosine_topk(
     )
 
 
+def cosine_scores(
+    emb: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> Column | DataFrame:
+    """(vec_id, cos) for EVERY row — the virtualized sim-matrix row the
+    reference reads (model.py:340 ``sim_matrix[i]``), computed on scan."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    qnorm = float(np.sqrt(np.sum(np.asarray(query_vec, dtype=np.float64) ** 2)))
+    cos = dot_expr(F.col(vec_col), qlit) / (
+        norm_expr(F.col(vec_col)) * F.lit(qnorm)
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.round(cos, round_to).alias("cos")
+    )
+
+
+def euclidean_dist_expr(a: Column, b: Column) -> Column:
+    """√Σ(aᵢ−bᵢ)² in float64 — fixed fold order, JVM-side."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a, b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def euclidean_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """gen_sim_matrix(metric='euclidean') + row scan as one query: the
+    k NEAREST rows by L2 distance (ascending, vec_id tie-break).
+
+    Note: the reference sorts every metric DESCENDING (model.py:372-381
+    ranks euclidean DISTANCES as if they were similarities, returning
+    the farthest items); nearest-ascending is the semantically correct
+    ranking and the divergence is deliberate."""
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    dist = euclidean_dist_expr(F.col(vec_col), qlit)
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.round(dist, 6).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
+def recommend_embeddings(
+    emb_titled: DataFrame,
+    inputs: list[str],
+    ratings: list[float] | None = None,
+    n: int = 10,
+    metric: str = "cosine",
+    title_col: str = "title",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The reference's embedding-method recommend chain (gen_embeddings →
+    gen_sim_matrix → model.recommend, model.py:198-383) as one query:
+    title→vector broadcast lookup, one sim-matrix ROW per input computed
+    on scan (never an N×N materialization), the order-dependent ratings
+    fold (T2), input exclusion, top-n.
+
+    metric='cosine' ranks folded similarity descending;
+    metric='euclidean' ranks folded distance ascending (see
+    ``euclidean_topk`` for the documented divergence). Per-input scores
+    are rounded to 6 BEFORE the fold so any SQL twin folds identical
+    doubles."""
+    from sparkrec.operators.recommend import fold_multi_input_scores
+
+    if metric not in ("cosine", "euclidean"):
+        raise ValueError("metric must be cosine or euclidean")
+    qrows = (
+        emb_titled.filter(F.col(title_col).isin(list(inputs)))
+        .select(title_col, id_col, vec_col)
+        .collect()
+    )
+    by_title = {r[title_col]: r for r in qrows}
+    missing = [t for t in inputs if t not in by_title]
+    if missing:
+        raise KeyError(f"inputs not found: {missing}")
+    per_input = []
+    for t in inputs:
+        qv = [float(x) for x in by_title[t][vec_col]]
+        if metric == "cosine":
+            s = cosine_scores(emb_titled, qv, id_col=id_col, vec_col=vec_col)
+            per_input.append(s.select(F.col("vec_id"), F.col("cos").alias("score")))
+        else:
+            qlit = F.array(*[F.lit(float(x)) for x in qv])
+            d = euclidean_dist_expr(F.col(vec_col), qlit)
+            per_input.append(
+                emb_titled.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.round(d, 6).alias("score"),
+                )
+            )
+    folded = fold_multi_input_scores(per_input, ratings, id_col="vec_id")
+    input_ids = [by_title[t][id_col] for t in inputs]
+    ranked = folded.filter(~F.col("vec_id").isin(input_ids)).select(
+        "vec_id", F.round("score", 6).alias("score")
+    )
+    order = (
+        [F.desc("score"), F.asc("vec_id")]
+        if metric == "cosine"
+        else [F.asc("score"), F.asc("vec_id")]
+    )
+    out = ranked.orderBy(*order).limit(n)
+    titles = emb_titled.select(F.col(id_col).alias("vec_id"), title_col)
+    return out.join(F.broadcast(titles), "vec_id").orderBy(*order).select(
+        title_col, "score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
