@@ -54,3 +54,38 @@ def process_articles(
             F.array_distinct(F.col("wikilinks")).alias("wikilinks"),
         )
     )
+
+
+def input_conversion_dict() -> dict[str, dict[str, str]]:
+    """Topic-alias → infobox-template map (reference data_utils.py:71-93,
+    consumed by parse_to_ndjson:429-437). Driver-side config; values feed
+    ``infobox_predicate`` / ``process_articles``."""
+    return {
+        "en": {
+            "books": "Infobox book",
+            "short_stories": "Infobox short story",
+            "plays": "Infobox play",
+            "authors": "Infobox writer",
+            "albums": "Infobox album",
+            "musicians": "Infobox musical artist",
+            "songs": "Infobox song",
+            "movies": "Infobox film",
+            "films": "Infobox film",
+            "tv_series": "Infobox television",
+            "video_games": "Infobox video game",
+            "artists": "Infobox artist",
+            "athletes": "Infobox sportsperson",
+            "politicians": "Infobox officeholder",
+            "people": "Infobox person",
+        }
+    }
+
+
+def resolve_topics(topics: str | list[str], language: str = "en") -> list[str]:
+    """Alias resolution as in parse_to_ndjson (data_utils.py:429-437):
+    known aliases map to their infobox template; unknown strings pass
+    through verbatim (the reference allows raw template names)."""
+    if isinstance(topics, str):
+        topics = [topics]
+    conv = input_conversion_dict().get(language, {})
+    return [conv.get(t, t) for t in topics]

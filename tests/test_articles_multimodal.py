@@ -47,3 +47,18 @@ def test_video_frame_sampling_rows(spark):
         per.setdefault(r["media_id"], []).append(r["frame_idx"])
         assert len(r["frame_feature"]) == 16
     assert all(sorted(v) == [0, 1] for v in per.values())
+
+
+def test_input_conversion_and_topic_resolution():
+    """Alias map mirrors reference data_utils.py:71-93; unknown topics
+    pass through (raw template names are allowed)."""
+    from sparkrec.functions.articles import input_conversion_dict, resolve_topics
+
+    conv = input_conversion_dict()
+    assert conv["en"]["books"] == "Infobox book"
+    assert conv["en"]["films"] == conv["en"]["movies"] == "Infobox film"
+    assert len(conv["en"]) == 15
+    assert resolve_topics("books") == ["Infobox book"]
+    assert resolve_topics(["books", "Infobox custom"]) == [
+        "Infobox book", "Infobox custom",
+    ]
