@@ -88,3 +88,44 @@ def test_parse_is_partition_invariant(spark, tmp_path):
     assert sorted(map(tuple, rows), key=lambda t: t[2]) == sorted(
         map(tuple, single), key=lambda t: t[2]
     )
+
+
+def test_page_roundtrip_fuzz_special_chars():
+    """Driver-side property: write_pages_xml → parse_page_fragment is the
+    identity on (title, ns, id, text) for arbitrary text incl. XML
+    metacharacters (escape/unescape must cancel exactly)."""
+    from hypothesis import given, settings, strategies as st
+
+    text_st = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_categories=("Cs", "Cc"),  # no surrogates/control chars (XML-invalid)
+        ),
+        max_size=200,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(title=text_st.filter(lambda s: s.strip() == s and s), text=text_st,
+           ns=st.integers(0, 15), pid=st.integers(0, 1 << 40))
+    def roundtrip(title, text, ns, pid):
+        import io, os, tempfile
+        from sparkrec.sources.wikixml import parse_page_fragment, write_pages_xml
+
+        fd, path = tempfile.mkstemp(suffix=".xml")
+        os.close(fd)
+        try:
+            write_pages_xml([(title, ns, pid, text)], path)
+            with open(path, encoding="utf-8") as fh:
+                content = fh.read()
+        finally:
+            os.unlink(path)
+        frag = content.split("</page>")[0]
+        parsed = parse_page_fragment(frag)
+        assert parsed is not None
+        got_title, got_ns, got_id, _, got_text, _ = parsed
+        assert got_title == title
+        assert got_ns == ns
+        assert got_id == pid
+        assert got_text == text
+
+    roundtrip()
