@@ -32,10 +32,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
+def run_single(cores: int, n_convs: int, root: str, trials: int = 2,
+               query_trials: int = 6) -> dict:
     """One measured configuration inside THIS process (invoked as a
     subprocess). ``trials`` repeats build+query and keeps the fastest —
-    the box is shared, so best-of-N is the steady-state estimate."""
+    the box is shared, so best-of-N is the steady-state estimate.
+    Query trials default higher than build trials: a query batch costs
+    seconds (vs minutes for a build), so extra repeats are nearly free
+    and the co-tenant noise bursts observed on this box (load spikes of
+    5-25 lasting tens of seconds) otherwise contaminate BOTH of two
+    trials more often than not."""
     from sparkrec.datagen import gen_queries, transcripts_df
     from sparkrec.operators.indexer import Index, IndexConfig, build_index
     from sparkrec.operators.scorer import bm25_query_topk
@@ -76,7 +82,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
         for qid, qtext in fixture
     ]
     query_sec = float("inf")
-    for _ in range(trials):
+    for _ in range(max(trials, query_trials)):
         t0 = time.monotonic()
         rows = bm25_query_topk(spark, idx, qset, 10).collect()
         query_sec = min(query_sec, time.monotonic() - t0)
@@ -98,6 +104,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2) -> dict:
         "build_sec": round(build_sec, 3),
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "query_sec": round(query_sec, 3),
+        "n_queries": len(qset),
         "queries_per_sec": round(len(qset) / query_sec, 2),
         "result_rows": len(rows),
         "result_digest": digest,
@@ -113,7 +120,8 @@ def main(argv=None) -> dict | None:
     p.add_argument("--single", type=int, default=None,
                    help="(internal) run one level in this process")
     p.add_argument("--trials", type=int, default=2,
-                   help="best-of-N per level (shared-box noise control)")
+                   help="interleaved rounds; best-of-N per level "
+                        "(shared-box noise control)")
     p.add_argument("--root", default="/tmp/sparkrec_scaling")
     args = p.parse_args(argv)
 
@@ -124,26 +132,49 @@ def main(argv=None) -> dict | None:
         ))
         return None
 
+    # Trials are INTERLEAVED across levels (low,high,low,high,…), one fresh
+    # JVM each: a co-tenant noise burst (this box shows load spikes of 5-25
+    # lasting minutes) then straddles both levels instead of landing wholly
+    # on whichever level happened to run during it — which is exactly the
+    # failure mode that skews the efficiency RATIO. Best-of-trials per
+    # level is then taken across rounds.
+    per_level: dict[int, list[dict]] = {args.low: [], args.high: []}
+    for _round in range(args.trials):
+        for cores in (args.low, args.high):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+            # the measured workload caches input + assembly + TF per trial;
+            # give the level JVM headroom beyond the 8g library default
+            env.setdefault("SPARKREC_DRIVER_MEM", "12g")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single", str(cores), "--n-convs", str(args.n_convs),
+                 "--root", args.root, "--trials", "1"],
+                capture_output=True, text=True, env=env, cwd=REPO,
+            )
+            line = next(
+                (l for l in proc.stdout.splitlines()
+                 if l.startswith("RESULT ")),
+                None,
+            )
+            if line is None:
+                sys.stderr.write(proc.stdout + "\n" + proc.stderr)
+                raise RuntimeError(f"scaling run at {cores} cores failed")
+            per_level[cores].append(json.loads(line[len("RESULT "):]))
+
     results = {}
-    for cores in (args.low, args.high):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
-        # the measured workload caches input + assembly + TF per trial;
-        # give the level JVM headroom beyond the 8g library default
-        env.setdefault("SPARKREC_DRIVER_MEM", "12g")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__),
-             "--single", str(cores), "--n-convs", str(args.n_convs),
-             "--root", args.root, "--trials", str(args.trials)],
-            capture_output=True, text=True, env=env, cwd=REPO,
-        )
-        line = next(
-            (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")),
-            None,
-        )
-        if line is None:
-            sys.stderr.write(proc.stdout + "\n" + proc.stderr)
-            raise RuntimeError(f"scaling run at {cores} cores failed")
-        results[cores] = json.loads(line[len("RESULT "):])
+    for cores, runs in per_level.items():
+        digests = {r["result_digest"] for r in runs}
+        if len(digests) != 1:
+            raise RuntimeError(
+                f"non-deterministic results at {cores} cores: {digests}")
+        best = dict(min(runs, key=lambda r: r["build_sec"]))
+        best["build_sec"] = min(r["build_sec"] for r in runs)
+        best["query_sec"] = min(r["query_sec"] for r in runs)
+        best["build_turns_per_sec"] = round(
+            best["n_turns"] / best["build_sec"], 1)
+        best["queries_per_sec"] = round(
+            best["n_queries"] / best["query_sec"], 2)
+        results[cores] = best
 
     lo, hi = results[args.low], results[args.high]
     ratio = args.high / args.low
@@ -166,7 +197,8 @@ def main(argv=None) -> dict | None:
 
 Generated by `python jobs/bench_scaling.py --low {args.low} --high {args.high} \
 --n-convs {args.n_convs}` (seed=42, identical input both runs, fresh JVM per
-level). Single-configuration per-round numbers live in `BENCH_r*.json`
+trial, trials interleaved low/high so shared-box noise bursts straddle both
+levels). Single-configuration per-round numbers live in `BENCH_r*.json`
 (driver-run `bench.py`).
 
 ## Two-parallelism scaling (BASELINE.json north rule: efficiency ≥ 0.8 from N to 4N)
@@ -176,7 +208,7 @@ level). Single-configuration per-round numbers live in `BENCH_r*.json`
 | index build (turns/sec) | {lo['build_turns_per_sec']} | {hi['build_turns_per_sec']} | **{eff_build:.3f}** |
 | query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | **{eff_query:.3f}** |
 | build wall (sec, {lo['n_turns']} turns) | {lo['build_sec']} | {hi['build_sec']} | |
-| query wall (sec, 300 queries, k=10) | {lo['query_sec']} | {hi['query_sec']} | |
+| query wall (sec, {lo.get('n_queries', 250)} queries, k=10) | {lo['query_sec']} | {hi['query_sec']} | |
 
 Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
 
