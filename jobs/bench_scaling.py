@@ -212,6 +212,12 @@ levels). Single-configuration per-round numbers live in `BENCH_r*.json`
 
 Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
 
+This file holds the LATEST run only. The box is a shared VM with measured
+hypervisor steal (bursts up to ~7.5 of 32 vCPUs) — see BENCH.md for the
+full run-by-run variance disclosure, the clean-window headline
+(build 0.800 / query 0.997 at 2→8 cores), the round-1-code-vs-HEAD A/B
+showing no code regression, and the core-time work-conservation analysis.
+
 **Rank identity across parallelism**: both levels produced byte-identical
 top-k (ids AND scores, md5 `{lo['result_digest'][:12]}…`):
 `{identical}`. Determinism is what makes the two runs comparable — scores
