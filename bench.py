@@ -60,34 +60,51 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}
 
-    def step(name: str, fn):
-        t0 = time.monotonic()
-        out = fn()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # Every step is best-of-N wall-clock (default 2): this box shows
+    # co-tenant bursts that inflate identical work up to 3x (BENCH.md
+    # variance table), and min-of-N is the steady-state estimator the
+    # scaling harness already uses. One-shot behavior: SPARKREC_BENCH_TRIALS=1.
+    trials_default = int(os.environ.get("SPARKREC_BENCH_TRIALS", "2"))
+
+    def step(name: str, fn, trials: int = trials_default, between=None):
+        best = float("inf")
+        out = None
+        for i in range(trials):
+            if i and between is not None:
+                between()
+            t0 = time.monotonic()
+            out = fn()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
         return out
 
     # -- 1. index build over transcripts (headline: turns/sec) -------------
-    shutil.rmtree(INDEX_ROOT, ignore_errors=True)
     t = transcripts_df(spark, n_convs).cache()
     n_turns = t.count()
 
     from sparkrec.plans.manifest import MetricsLog
 
-    metrics = MetricsLog(INDEX_ROOT)
-    step(
-        "index_build",
-        lambda: build_index(
+    best_build, best_metrics = float("inf"), None
+    for _ in range(trials_default):
+        shutil.rmtree(INDEX_ROOT, ignore_errors=True)
+        metrics = MetricsLog(INDEX_ROOT)
+        t0 = time.monotonic()
+        build_index(
             spark, t, INDEX_ROOT, IndexConfig(), overwrite=True, metrics=metrics
-        ),
-    )
+        )
+        wall = time.monotonic() - t0
+        if wall < best_build:
+            best_build, best_metrics = wall, metrics
+    timings["index_build"] = round(best_build, 3)
+    extra["bench_trials"] = trials_default
     extra["turns_indexed"] = n_turns
     extra["turns_per_sec"] = round(n_turns / timings["index_build"], 1)
-    for s in metrics.stages:
+    for s in best_metrics.stages:
         if s["status"] == "completed":
             timings[f"index_stage_{s['stage']}"] = s["wall_sec"]
 
     idx = Index.load(spark, INDEX_ROOT)
-    step("index_warm", lambda: idx.warm(spark))  # pin serving tables
+    step("index_warm", lambda: idx.warm(spark), trials=1)  # pin serving tables
     qset = [
         (r["query_id"], r["query_text"])
         for _, r in gen_queries(n_convs).iterrows()
@@ -107,11 +124,12 @@ def main() -> None:
     # job-scheduling overhead, not the serving design.
     from sparkrec.operators.scorer import bm25_query_topk_local
 
-    lat = []
-    for qid, qtext in qset[:10]:
-        t0 = time.monotonic()
-        bm25_query_topk_local(spark, idx, [(qid, qtext)], 10)
-        lat.append(time.monotonic() - t0)
+    lat = [float("inf")] * 10
+    for _ in range(trials_default):
+        for i, (qid, qtext) in enumerate(qset[:10]):
+            t0 = time.monotonic()
+            bm25_query_topk_local(spark, idx, [(qid, qtext)], 10)
+            lat[i] = min(lat[i], time.monotonic() - t0)
     lat.sort()
     timings["wand_point_10"] = round(sum(lat), 3)
     extra["query_p50_ms"] = round(1000 * lat[len(lat) // 2], 1)
@@ -119,11 +137,12 @@ def main() -> None:
     extra["query_local_p50_ms"] = extra["query_p50_ms"]  # same path by design
 
     # distributed point-query sample (coverage of the cluster path)
-    lat_d = []
-    for qid, qtext in qset[:3]:
-        t0 = time.monotonic()
-        bm25_query_topk(spark, idx, [(qid, qtext)], 10).collect()
-        lat_d.append(time.monotonic() - t0)
+    lat_d = [float("inf")] * 3
+    for _ in range(trials_default):
+        for i, (qid, qtext) in enumerate(qset[:3]):
+            t0 = time.monotonic()
+            bm25_query_topk(spark, idx, [(qid, qtext)], 10).collect()
+            lat_d[i] = min(lat_d[i], time.monotonic() - t0)
     lat_d.sort()
     timings["wand_dist_3"] = round(sum(lat_d), 3)
     extra["query_dist_p50_ms"] = round(1000 * lat_d[len(lat_d) // 2], 1)
@@ -137,8 +156,14 @@ def main() -> None:
     # -- 4. dedup ladder over documents -------------------------------------
     from sparkrec.session import release_caches
 
-    step("minhash_lsh_dedup", lambda: entry.q_minhash_pairs(spark, SF_DIR).count())
-    step("simhash_near", lambda: entry.q_simhash_near(spark, SF_DIR).count())
+    # between trials: drop the scoped caches so every trial pays the full
+    # cold dedup cost (otherwise min-of-N would measure a cache hit)
+    step("minhash_lsh_dedup",
+         lambda: entry.q_minhash_pairs(spark, SF_DIR).count(),
+         between=release_caches)
+    release_caches()
+    step("simhash_near", lambda: entry.q_simhash_near(spark, SF_DIR).count(),
+         between=release_caches)
     release_caches()  # dedup intermediates are consumed; drop them
 
     # -- 5. ANN over embeddings ---------------------------------------------
