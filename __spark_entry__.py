@@ -465,8 +465,8 @@ def q_embedding_near_dup(spark, sf_dir):
 
 def q_euclidean_topk(spark, sf_dir):
     """gen_sim_matrix(metric='euclidean') + row scan: nearest-ascending
-    L2 top-k (reference ranks distances descending — divergence
-    documented in simsearch.euclidean_topk)."""
+    L2 top-k (the reference's euclidean branch also sorts ascending,
+    model.py:377-379)."""
     from sparkrec.operators.simsearch import euclidean_topk
 
     emb = _read_wide(spark, sf_dir, "embeddings")

@@ -45,6 +45,40 @@ from sparkrec.session import scoped_cache
 MERSENNE_61 = (1 << 61) - 1
 
 
+# ---------------------------------------------------------------------------
+# Hash families
+# ---------------------------------------------------------------------------
+# Production default is xxhash64 (fastest JVM-side 64-bit hash). The
+# "md5_60" family — the first 15 hex chars of md5 as a non-negative
+# 60-bit BIGINT — computes to the identical value in Spark and DuckDB
+# (`('0x' || substr(md5(x),1,15))::BIGINT`), which is what lets the
+# MinHash-LSH and SimHash contract entries carry exact value-hash
+# oracles instead of rows-only checks. Same pipeline, same shuffle
+# shape; only the base hash differs.
+
+
+def md5_60_expr(col):
+    """Non-negative 60-bit hash: first 15 hex chars of md5 as a long."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def duck_md5_60(col_sql: str) -> str:
+    """The identical 60-bit hash as a DuckDB SQL fragment."""
+    return f"('0x' || substr(md5({col_sql}), 1, 15))::BIGINT"
+
+
+def _hash_expr(hash_fn: str, col):
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col)
+    if hash_fn == "md5_60":
+        return md5_60_expr(col)
+    raise ValueError(f"unknown hash family: {hash_fn}")
+
+
+def _hash_bits(hash_fn: str) -> int:
+    return 64 if hash_fn == "xxhash64" else 60
+
+
 def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
     """(text_md5, n_dups, keeper) — one row per distinct text; keeper is
@@ -203,12 +237,14 @@ def minhash_signatures(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
     Shingling AND base hashing are Catalyst expressions (``xxhash64`` per
-    shingle, JVM-side, codegen'd); the Arrow batch hands numpy int64
-    arrays, never strings. The permutation family
+    shingle by default, JVM-side, codegen'd; ``hash_fn="md5_60"`` is the
+    DuckDB-replayable family — see module notes); the Arrow batch hands
+    numpy int64 arrays, never strings. The permutation family
     h_i(x) = (a_i·x32 + b_i) mod P (P prime > 2^32, x32 = low 32 hash
     bits) is evaluated as one (total_shingles × n_hashes) uint64 matrix
     per chunk with ``np.minimum.reduceat`` folding per-doc minima — no
@@ -218,7 +254,9 @@ def minhash_signatures(
     a, b = _minhash_params(n_hashes, seed)
     shingled = _shingled(docs, shingle_n, id_col, text_col).select(
         "doc_id",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("sh_hashes"),
+        F.transform(
+            "shingles", lambda s: _hash_expr(hash_fn, s)
+        ).alias("sh_hashes"),
     )
     chunk_budget = 1 << 18  # shingle rows per matrix chunk
 
@@ -256,16 +294,29 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_bands: int = 16
+    signatures: DataFrame, n_bands: int = 16, bucket_mode: str = "hash"
 ) -> DataFrame:
     """Band the signatures and emit (doc_a, doc_b) sharing ≥1 band bucket.
 
     Shuffle profile: n_bands rows per doc, keys are (band, hash-of-rows) —
     uniformly distributed, so no skew; pair fan-out per bucket is bounded
     by actual near-duplicate cluster sizes.
+
+    ``bucket_mode="hash"`` (default) keys buckets by a Murmur3 hash of
+    the band slice (compact 4-byte shuffle keys); ``"concat"`` keys them
+    by the comma-joined slice values — byte-identical grouping (equal
+    slices ⇔ equal keys either way), but the key is engine-portable, so
+    the DuckDB oracle replays it exactly.
     """
     sig_len = F.size("sig")
     rows_per_band = (sig_len / n_bands).cast("int")
+
+    def bucket_of(i):
+        sl = F.slice("sig", i * rows_per_band + 1, rows_per_band)
+        if bucket_mode == "hash":
+            return F.hash(sl)
+        return F.concat_ws(",", F.transform(sl, lambda v: v.cast("string")))
+
     # cached: both sides of the bucket self-join read this table — without
     # the cache the (expensive) signature computation runs twice
     bands = signatures.select(
@@ -274,10 +325,7 @@ def lsh_candidate_pairs(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda i: F.struct(
-                    i.alias("band"),
-                    F.hash(
-                        F.slice("sig", i * rows_per_band + 1, rows_per_band)
-                    ).alias("bucket"),
+                    i.alias("band"), bucket_of(i).alias("bucket")
                 ),
             )
         ).alias("bb"),
@@ -306,6 +354,8 @@ def minhash_dedup_pairs(
     seed: int = 42,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "xxhash64",
+    bucket_mode: str = "hash",
 ) -> DataFrame:
     """LSH candidates verified by exact shingle Jaccard ≥ threshold.
 
@@ -314,8 +364,10 @@ def minhash_dedup_pairs(
     to candidate pairs (semi-join pushdown keeps the verify linear in
     candidates, not corpus²).
     """
-    sigs = minhash_signatures(docs, n_hashes, shingle_n, seed, id_col, text_col)
-    cands = scoped_cache(lsh_candidate_pairs(sigs, n_bands))
+    sigs = minhash_signatures(
+        docs, n_hashes, shingle_n, seed, id_col, text_col, hash_fn
+    )
+    cands = scoped_cache(lsh_candidate_pairs(sigs, n_bands, bucket_mode))
     # materialize NOW, with a normal parallel job: `cands` is consumed via
     # broadcast below, and a lazy broadcast subquery executes its whole
     # child DAG (signature UDF included) single-threaded inside the
@@ -358,34 +410,40 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, simhash: bigint) 64-bit SimHash over token xxhash64 bits.
+    """(doc_id, simhash: bigint) SimHash over per-token hash bits —
+    64 bits with xxhash64 (default), 60 with the DuckDB-replayable
+    ``md5_60`` family.
 
-    Pure Catalyst: per token occurrence the 64 hash bits vote ±1 (so a
+    Pure Catalyst: per token occurrence the hash bits vote ±1 (so a
     term with frequency tf votes ±tf overall); signature bit j is the
-    sign of the vote sum. One shuffle, 64 codegen'd SUM aggregates.
+    sign of the vote sum. One shuffle, n_bits codegen'd SUM aggregates.
     """
+    n_bits = _hash_bits(hash_fn)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(sql_tokenize_expr(F.col(text_col))).alias("term"),
     )
-    h = F.xxhash64("term")
-    # bit j's vote: +1 per occurrence if hash bit j set, else -1. The 64
-    # votes are 64 parallel SUM aggregates over the exploded token rows —
-    # ONE shuffle keyed by doc_id, map-side partial aggregation, O(64)
-    # state per group. (The alternative posexplode formulation is a 64×
-    # row blowup plus a second shuffle.)
+    h = _hash_expr(hash_fn, "term")
+    # bit j's vote: +1 per occurrence if hash bit j set, else -1. The
+    # votes are n_bits parallel SUM aggregates over the exploded token
+    # rows — ONE shuffle keyed by doc_id, map-side partial aggregation,
+    # O(n_bits) state per group. (The alternative posexplode formulation
+    # is an n_bits× row blowup plus a second shuffle.)
     votes = [
         F.sum(
             F.when(h.bitwiseAND(F.lit(_signed64(1 << j))) != 0, F.lit(1))
             .otherwise(F.lit(-1))
         ).alias(f"v{j}")
-        for j in range(64)
+        for j in range(n_bits)
     ]
     summed = toks.groupBy("doc_id").agg(*votes)
     sig = None
-    for j in range(64):
+    for j in range(n_bits):
         bit = F.when(
             F.col(f"v{j}") > 0, F.lit(_signed64(1 << j)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -399,15 +457,16 @@ def _signed64(v: int) -> int:
 
 
 def simhash_near_pairs(
-    signatures: DataFrame, max_hamming: int = 3, n_bands: int = 4
+    signatures: DataFrame, max_hamming: int = 3, n_bands: int = 4,
+    n_bits: int = 64,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming ≤ max_hamming) via bit-band blocking.
 
     Pigeonhole: two signatures within Hamming distance d < n_bands must
-    agree exactly on ≥1 of n_bands 16-bit bands → candidates share a band
-    value; exact popcount verifies.
+    agree exactly on ≥1 of n_bands (n_bits/n_bands)-wide bands →
+    candidates share a band value; exact popcount verifies.
     """
-    width = 64 // n_bands
+    width = n_bits // n_bands
     bands = signatures.select(
         "doc_id",
         "simhash",

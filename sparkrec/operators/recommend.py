@@ -228,6 +228,13 @@ def recommend(
     scores = contrib.groupBy("ord", id_col).agg(F.sum("contrib").alias("score"))
     if round_scores is not None:
         scores = scores.withColumn("score", F.round("score", round_scores))
+    # the scoring DAG (TF/DF/contrib subtree) is consumed once per input
+    # by the fold's per-ord branches — cache it so the expensive subtree
+    # computes once, not ×n_inputs (callers release via
+    # session.release_caches after materializing the result)
+    from sparkrec.session import scoped_cache
+
+    scores = scoped_cache(scores)
 
     kept = sorted(found_ords)
     per_input = [

@@ -81,7 +81,7 @@ def cosine_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-) -> Column | DataFrame:
+) -> DataFrame:
     """(vec_id, cos) for EVERY row — the virtualized sim-matrix row the
     reference reads (model.py:340 ``sim_matrix[i]``), computed on scan."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -117,12 +117,9 @@ def euclidean_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """gen_sim_matrix(metric='euclidean') + row scan as one query: the
-    k NEAREST rows by L2 distance (ascending, vec_id tie-break).
-
-    Note: the reference sorts every metric DESCENDING (model.py:372-381
-    ranks euclidean DISTANCES as if they were similarities, returning
-    the farthest items); nearest-ascending is the semantically correct
-    ranking and the divergence is deliberate."""
+    k NEAREST rows by L2 distance — ascending, vec_id tie-break, exactly
+    the reference's euclidean branch (model.py:377-379 sorts distances
+    with ``reverse=False``, lower is better)."""
     qlit = F.array(*[F.lit(float(x)) for x in query_vec])
     dist = euclidean_dist_expr(F.col(vec_col), qlit)
     return (
@@ -149,10 +146,10 @@ def recommend_embeddings(
     fold (T2), input exclusion, top-n.
 
     metric='cosine' ranks folded similarity descending;
-    metric='euclidean' ranks folded distance ascending (see
-    ``euclidean_topk`` for the documented divergence). Per-input scores
-    are rounded to 6 BEFORE the fold so any SQL twin folds identical
-    doubles."""
+    metric='euclidean' ranks folded distance ascending — both match the
+    reference's recommend() sort directions (model.py:374-379). Per-input
+    scores are rounded to 6 BEFORE the fold so any SQL twin folds
+    identical doubles."""
     from sparkrec.operators.recommend import fold_multi_input_scores
 
     if metric not in ("cosine", "euclidean"):

@@ -151,13 +151,17 @@ def umass_coherence(
     if not words:
         return 0.0
     spark = tokenized.sparkSession
-    wdf = F.broadcast(spark.createDataFrame([(w,) for w in words], ["term"]))
-    occ = (
-        tokenized.select("doc_id", F.explode("tokens").alias("term"))
-        .join(wdf, "term")
-        .distinct()
-        .cache()
-    )
+    # candidate hits are capped scan-side BEFORE the explode/self-join:
+    # array_intersect against the (tiny) topic-word set both restricts
+    # AND dedups per doc, so occ carries ≤ |words| rows per document and
+    # the per-doc co-occurrence self-join below is bounded by |words|²
+    # regardless of document length — a pathological 10^6-token doc
+    # cannot square.
+    words_lit = F.array(*[F.lit(w) for w in words])
+    occ = tokenized.select(
+        "doc_id",
+        F.explode(F.array_intersect("tokens", words_lit)).alias("term"),
+    ).cache()
     dfreq = {
         r["term"]: r["df"]
         for r in occ.groupBy("term").agg(F.count(F.lit(1)).alias("df")).collect()

@@ -113,6 +113,8 @@ def negative_sample_pairs(
     k: int,
     seed: int = 42,
     oversample: int = 4,
+    max_oversample: int = 256,
+    num_buckets: int = 256,
 ) -> DataFrame:
     """First ``k`` seeded pseudo-random (article, link_idx) draws that
     are NOT positive pairs — the distributed restatement of the
@@ -121,21 +123,72 @@ def negative_sample_pairs(
     Each candidate i derives two independent quadratic-mixer draws from
     (seed, i); rejection is one left-anti join against distinct
     positives; ``cand_idx`` ordering makes "first k" deterministic at
-    any parallelism. ``oversample`` bounds the candidate stream at
-    k·oversample (positives are sparse in the article×link grid, so a
-    small factor suffices; callers needing a guarantee re-call with a
-    larger factor)."""
-    cand = spark.range(k * oversample).select(
+    any parallelism.
+
+    "First k" ranking is exact WITHOUT a global sort: survivors are
+    range-bucketed by cand_idx, per-bucket counts roll into driver-side
+    cumulative offsets (≤ num_buckets rows), and rank = offset +
+    bucket-local row_number — the same two-phase scheme as
+    docs.assign_doc_ids and sample.seeded_sample(scale_safe=True). At
+    training scale k ≈ 2×|positives| is corpus-sized, so a
+    ``Window.orderBy(cand_idx)`` (single-partition Exchange) would sort
+    billions of rows in one task; the bucket scheme keeps every task
+    bounded by k·oversample/num_buckets.
+
+    Under-delivery is never silent: the bucket counts expose the
+    survivor total for free; when fewer than k candidates survive the
+    rejection, the sampler retries with 4× the oversample (the candidate
+    stream is a pure function of (seed, i), so a longer stream EXTENDS
+    the shorter one — "first k" stays deterministic across retries), and
+    raises once ``max_oversample`` is exhausted."""
+    from sparkrec.session import scoped_cache
+
+    total = k * oversample
+    cand = spark.range(total).select(
         F.col("id").alias("cand_idx"),
         (_draw(seed, F.col("id"), 1) % n_articles).alias("article"),
         (_draw(seed, F.col("id"), 2) % n_links).alias("link_idx"),
     )
     pos = positives.select("article", "link_idx").distinct()
-    kept = cand.join(pos, ["article", "link_idx"], "left_anti")
-    w = Window.orderBy("cand_idx")
+    # cached: feeds the bucket-count action AND the final ranked output
+    kept = scoped_cache(cand.join(pos, ["article", "link_idx"], "left_anti"))
+    span = max(1, -(-total // num_buckets))
+    n_buckets = -(-total // span)
+    bucketed = kept.withColumn(
+        "_b", (F.col("cand_idx") / F.lit(span)).cast("int")
+    )
+    counts = {
+        r["_b"]: r["cnt"]
+        for r in bucketed.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    survivors = sum(counts.values())
+    if survivors < k:
+        kept.unpersist()
+        if oversample >= max_oversample:
+            raise ValueError(
+                f"negative sampling exhausted: only {survivors} of k={k} "
+                f"candidates survive rejection at oversample={oversample}; "
+                f"the positive set covers too much of the "
+                f"{n_articles}x{n_links} grid"
+            )
+        return negative_sample_pairs(
+            spark, positives, n_articles, n_links, k, seed,
+            oversample * 4, max_oversample, num_buckets,
+        )
+    offsets, acc = {}, 0
+    for bkt in range(n_buckets):
+        offsets[bkt] = acc
+        acc += counts.get(bkt, 0)
+    off = F.element_at(
+        F.array(*[F.lit(offsets[bkt]) for bkt in range(n_buckets)]),
+        F.col("_b") + 1,
+    )
+    w = Window.partitionBy("_b").orderBy("cand_idx")
     return (
-        kept.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        bucketed.withColumn("_rank", F.row_number().over(w) - 1 + off)
+        .filter(F.col("_rank") < k)
         .select("cand_idx", "article", "link_idx", F.lit(0).alias("label"))
     )
 

@@ -209,6 +209,48 @@ def test_wikilink_pairs_plan_broadcasts_link_index(spark):
     assert "BatchEvalPython" not in p2 and "EvalPython" not in p2
 
 
+def test_negative_sampler_has_no_single_partition_exchange(spark):
+    """The "first k survivors" rank must use the two-phase bucket-offset
+    scheme: at training scale k is corpus-sized, and a global
+    Window.orderBy(cand_idx) would funnel every candidate through ONE
+    task (an Exchange SinglePartition in the plan)."""
+    from sparkrec.operators.wikilink_nn import negative_sample_pairs
+    from sparkrec.session import release_caches
+
+    pos = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0)], "article long, link_idx long"
+    )
+    out = negative_sample_pairs(spark, pos, 64, 64, k=16, seed=3)
+    p = plan(out)
+    assert "SinglePartition" not in p, p
+    # the window rank partitions by the range bucket
+    assert "_b" in p
+    assert out.count() == 16
+    release_caches()
+
+
+def test_recommend_scoring_dag_cached_across_input_branches(spark):
+    """recommend() fans its BM25 scoring DAG out into one branch per
+    input; the TF/DF/contrib subtree must be read from cache by every
+    branch (InMemoryTableScan per input), not recomputed ×n_inputs."""
+    from sparkrec.functions.sqltok import sql_tokenize_expr
+    from sparkrec.operators.recommend import recommend
+    from sparkrec.session import release_caches
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", sql_tokenize_expr(F.col("text")).alias("tokens"))
+        .withColumn(
+            "title", F.concat(F.lit("doc "), F.col("doc_id").cast("string"))
+        )
+    )
+    res = recommend(spark, docs, ["doc 1", "doc 2"], n=5)
+    p = plan(res.recs)
+    assert p.count("InMemoryTableScan") >= 2, p
+    assert res.recs.count() == 5
+    release_caches()
+
+
 def test_wikixml_parse_is_arrow_vectorized(spark, tmp_path):
     """Dump parsing crosses into Python ONCE, Arrow-batched (MapInPandas)
     — never the per-row BatchEvalPython node."""

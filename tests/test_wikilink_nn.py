@@ -133,3 +133,30 @@ def test_training_pairs_ratio_and_labels(spark, corpus):
     _, _, _, pairs = _twin()
     assert n_pos == len(pairs)
     assert n_neg == 2 * n_pos
+
+
+def test_negative_sampler_under_delivery_raises_or_retries(spark):
+    """Under-delivery is never silent: a positive set that rejects most
+    of the candidate stream triggers an oversample retry (the stream is
+    a pure function of (seed, i), so retries extend it deterministically)
+    and raises once max_oversample is exhausted."""
+    # positives cover the ENTIRE 2x2 grid: zero candidates can survive
+    full = spark.createDataFrame(
+        [(a, l) for a in range(2) for l in range(2)],
+        "article long, link_idx long",
+    )
+    with pytest.raises(ValueError, match="exhausted"):
+        negative_sample_pairs(
+            spark, full, 2, 2, k=3, seed=1, oversample=2, max_oversample=4
+        )
+    # sparse positives but a draw-heavy k: the retry path must deliver
+    # exactly k and match the direct large-oversample call
+    pos = spark.createDataFrame([(0, 0)], "article long, link_idx long")
+    small = negative_sample_pairs(
+        spark, pos, 2, 2, k=10, seed=1, oversample=1, max_oversample=256
+    ).collect()
+    big = negative_sample_pairs(
+        spark, pos, 2, 2, k=10, seed=1, oversample=64
+    ).collect()
+    assert len(small) == 10
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
