@@ -160,6 +160,10 @@ def clean_tokens(
             trigrams=cfg.mine_trigrams,
             tokens_col="tokens",
             id_col=id_col,
+            # the reference passes its stopword list to BOTH Phrases
+            # passes (data_utils.py:823/:830), independent of whether
+            # stopwords are later removed in stage 4
+            connector_words=stop_words,
         )
 
     # 4. unwanted-token drop + lowercase (pre-lowercase membership order)
