@@ -220,32 +220,30 @@ def subset_and_combine_expr(toks: Column, max_token_index: int = -1) -> Column:
 
 
 # ---------------------------------------------------------------------------
-# Lemmatize/stem hook (P9/P10) — vectorized plumbing, model-gated body.
+# Lemmatize/stem hook (P9) — vectorized plumbing, pure-Python lemmatizer.
 # ---------------------------------------------------------------------------
 
-# Rule-based fallback covering the reference's golden test cases
-# (tests/test_data_utils.py:46-56: computers→computer, walking→walk ...).
-_SUFFIX_RULES = [
-    ("sses", "ss"), ("ies", "y"), ("ing", ""), ("ied", "y"), ("ed", ""),
-    ("s", ""),
-]
-
-
 def py_lemma_lite(tok: str) -> str:
-    """Deterministic rule-based lemma fallback (NOT spaCy — hermetic)."""
-    for suf, rep in _SUFFIX_RULES:
-        if tok.endswith(suf) and len(tok) - len(suf) + len(rep) >= 2:
-            return tok[: len(tok) - len(suf)] + rep
-    return tok
+    """English lemma (exception dict + AGID-style rules) — hermetic
+    stand-in for spaCy that reproduces the reference's golden cases
+    (tests/test_data_utils.py:46-56: better→well, walking→walk,
+    dogs→dog). Full implementation + scope notes: functions/lemma.py."""
+    from sparkrec.functions.lemma import lemma_en
+
+    return lemma_en(tok)
 
 
 def lemmatize_tokens(df, tokens_col: str = "tokens", use_spacy: bool = False):
     """``mapInPandas`` lemmatization stage (P9, data_utils.py:600-639).
 
     spaCy is not installed in this container; ``use_spacy=True`` raises a
-    clear error. The fallback applies ``py_lemma_lite`` vectorized over
-    Arrow batches — the Spark-side plumbing (schema, batching, ordering)
-    is identical to what the spaCy path would use (``nlp.pipe`` per batch).
+    clear error. The hermetic path applies ``functions/lemma.lemma_en``
+    over Arrow batches with the same unique-vocab vectorization as the
+    stemmer (functions/stem.stem_tokens): per batch, the flattened token
+    stream reduces to unique surface forms, each lemmatized once
+    (lru-memoized for the worker's lifetime), then scattered back with a
+    numpy take. The Spark-side plumbing (schema, batching, ordering) is
+    identical to what the spaCy path would use (``nlp.pipe`` per batch).
     """
     if use_spacy:  # pragma: no cover - model not present in sandbox
         try:
@@ -253,16 +251,34 @@ def lemmatize_tokens(df, tokens_col: str = "tokens", use_spacy: bool = False):
         except ImportError as e:
             raise NotImplementedError(
                 "spaCy not available in this environment; "
-                "run with use_spacy=False for the rule-based fallback"
+                "run with use_spacy=False for the rule-based lemmatizer"
             ) from e
+
+    import numpy as np
 
     schema = df.schema
 
     def batches(it):
+        from sparkrec.functions.lemma import lemma_en
+
         for pdf in it:
-            pdf[tokens_col] = pdf[tokens_col].map(
-                lambda toks: [py_lemma_lite(t) for t in toks]
+            lists = pdf[tokens_col].tolist()
+            lens = np.fromiter((len(x) for x in lists), dtype=np.int64,
+                               count=len(lists))
+            if lens.sum() == 0:
+                yield pdf
+                continue
+            flat = np.concatenate(
+                [np.asarray(x, dtype=object) for x in lists]
             )
+            uniq, inv = np.unique(flat.astype("U"), return_inverse=True)
+            lem_uniq = np.array(
+                [lemma_en(u) for u in map(str, uniq)], dtype=object
+            )
+            lemmed = lem_uniq[inv]
+            bounds = np.cumsum(lens)[:-1]
+            pdf = pdf.copy()
+            pdf[tokens_col] = [list(a) for a in np.split(lemmed, bounds)]
             yield pdf
 
     return df.mapInPandas(batches, schema=schema)

@@ -63,13 +63,12 @@ def test_subset_and_combine_tokens(spark):
 
 
 def test_lemma_lite_golden():
-    # reference test__lemmatize goldens (:46-56) minus spaCy irregulars:
-    # walking→walk, dogs→dog reproduce; 'better'→'well' needs a model
-    # (documented divergence of the hermetic fallback)
+    # the reference's test__lemmatize goldens (:46-56), spaCy irregulars
+    # included, now pass hermetically (functions/lemma.py exception dict)
+    assert py_lemma_lite("better") == "well"
     assert py_lemma_lite("walking") == "walk"
     assert py_lemma_lite("dogs") == "dog"
     assert py_lemma_lite("classes") == "class"
-    assert py_lemma_lite("better") == "better"
 
 
 def test_wikilink_frequencies_reference_filter(spark):
