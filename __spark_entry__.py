@@ -252,6 +252,15 @@ def q_bigram_counts(spark, sf_dir):
 
 PHRASE_MIN_COUNT = 20
 PHRASE_THRESHOLD = 1e-4
+# gensim connector_words, as the reference passes its stopword list to
+# both Phrases passes (data_utils.py:823/:830); deterministic English
+# function-word list shared verbatim by the Spark entries and the
+# DuckDB twins ('a'/'the' occur in the synthetic corpus, so
+# connector-spanning spans are actually exercised).
+PHRASE_CONNECTORS = [
+    "a", "an", "the", "of", "and", "or", "in", "on", "at", "to",
+    "for", "with", "by", "from", "as", "is", "are", "was", "were", "be",
+]
 
 
 def _promoted_phrases(spark, sf_dir):
@@ -261,6 +270,7 @@ def _promoted_phrases(spark, sf_dir):
         _doc_tokens(spark, sf_dir),
         min_count=PHRASE_MIN_COUNT,
         threshold=PHRASE_THRESHOLD,
+        connector_words=PHRASE_CONNECTORS,
     )
 
 
@@ -269,12 +279,16 @@ def q_phrase_mine(spark, sf_dir):
 
 
 def q_phrase_rewrite(spark, sf_dir):
-    """Greedy non-overlapping bigram rewrite (gensim transform semantics,
-    reference prepend order): phrases listed in final prepended order."""
+    """Greedy non-overlapping bigram rewrite (gensim transform semantics
+    with connector words, reference prepend order): prepended one-``_``
+    stream tokens listed in final order."""
     from sparkrec.operators.phrases import rewrite_with_phrases
 
     toks = _doc_tokens(spark, sf_dir)
-    out = rewrite_with_phrases(toks, _promoted_phrases(spark, sf_dir))
+    out = rewrite_with_phrases(
+        toks, _promoted_phrases(spark, sf_dir),
+        connector_words=PHRASE_CONNECTORS,
+    )
     return out.select(
         "doc_id",
         F.size("tokens").alias("total_len"),
@@ -285,8 +299,9 @@ def q_phrase_rewrite(spark, sf_dir):
 
 
 def q_trigram_mine(spark, sf_dir):
-    """Second Phrases pass: promoted pairs of the greedily
-    bigram-transformed stream whose joined form is a true trigram."""
+    """Second Phrases pass (same connectors): promoted spans of the
+    greedily bigram-transformed stream whose joined form is a true
+    trigram (exactly two ``_``)."""
     from sparkrec.operators.phrases import mine_trigrams
 
     return mine_trigrams(
@@ -294,6 +309,7 @@ def q_trigram_mine(spark, sf_dir):
         _promoted_phrases(spark, sf_dir),
         min_count=PHRASE_MIN_COUNT,
         threshold=PHRASE_THRESHOLD,
+        connector_words=PHRASE_CONNECTORS,
     )
 
 
@@ -306,6 +322,35 @@ def q_clean_pipeline(spark, sf_dir):
     toks = _doc_tokens(spark, sf_dir)
     cfg = CleanConfig(
         language="und",  # stem leg exercised by the rows-only `stemmed` entry
+        min_token_freq=CLEAN_MIN_FREQ, min_token_len=CLEAN_MIN_LEN,
+        min_tokens=CLEAN_MIN_TOKENS, max_token_index=-1,
+        mine_phrases=False, remove_stopwords=False,
+    )
+    cleaned = clean_tokens(toks, cfg)
+    return (
+        toks.select("doc_id")
+        .join(cleaned.select("doc_id", "tokens"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("tokens").isNotNull().cast("int").alias("kept"),
+            F.coalesce(F.size("tokens"), F.lit(0)).alias("final_len"),
+            F.coalesce(F.array_join("tokens", " "), F.lit("")).alias(
+                "final_text"
+            ),
+        )
+    )
+
+
+def q_clean_pipeline_en(spark, sf_dir):
+    """clean() with the FULL English chain — Snowball stemming (stage 5)
+    feeding the A2 min-freq/min-len filter and the -1 truncation — so
+    the oracled contract exercises the stem leg end-to-end (the DuckDB
+    twin joins the same driver-built stem dictionary as ``stemmed``)."""
+    from sparkrec.operators.clean import CleanConfig, clean_tokens
+
+    toks = _doc_tokens(spark, sf_dir)
+    cfg = CleanConfig(
+        language="en",
         min_token_freq=CLEAN_MIN_FREQ, min_token_len=CLEAN_MIN_LEN,
         min_tokens=CLEAN_MIN_TOKENS, max_token_index=-1,
         mine_phrases=False, remove_stopwords=False,
@@ -803,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_rewrite": q_phrase_rewrite,
         "trigram_mine": q_trigram_mine,
         "clean_pipeline": q_clean_pipeline,
+        "clean_pipeline_en": q_clean_pipeline_en,
         "events_daily": q_events_daily,
         "events_window": q_events_window,
         "sample_deterministic": q_sample_deterministic,
@@ -967,51 +1013,91 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE isect::DOUBLE / (sa.sz + sb.sz - isect) >= {JACCARD_THRESHOLD}"""
 
-    # gensim semantics: vocab = distinct unigrams + distinct pairs (both
-    # live in one dict), promotion is STRICT score > threshold, and the
-    # transform matches greedily left-to-right without overlaps. Greedy
-    # as algebra (same derivation as operators/phrases._greedy_positions):
-    # matched(p) ⇔ promoted(p) ∧ (p − last_unpromoted_position) is odd.
+    # gensim semantics with connector_words (operators/phrases.py module
+    # notes): connectors never count as unigrams, candidate spans carry
+    # interior connectors, vocab = distinct non-connector unigrams +
+    # distinct spans, promotion is STRICT score > threshold, and the
+    # transform matches greedily left-to-right without overlaps over the
+    # non-connector subsequence. Greedy as algebra (same derivation as
+    # operators/phrases._greedy_positions): with r = non-connector rank,
+    # matched(r) ⇔ promoted(r) ∧ (r − last_unpromoted_rank) is odd;
+    # a token is consumed ⇔ the last non-connector token strictly
+    # before it matched.
     mc, th = PHRASE_MIN_COUNT, PHRASE_THRESHOLD
-    phrase_ctes = f"""{_TOKS_CTE},
-pos AS (SELECT doc_id, unnest(tokens) AS tok,
-               generate_subscripts(tokens, 1) AS p FROM toks),
-pr AS (SELECT doc_id, p, tok,
-              tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p)
-              AS phrase FROM pos),
-pc AS (SELECT phrase, count(*) AS cnt FROM pr WHERE phrase IS NOT NULL
-       GROUP BY phrase),
-uni AS (SELECT tok, count(*) AS ucnt FROM pos GROUP BY tok),
-v AS (SELECT ((SELECT count(*) FROM uni)
-            + (SELECT count(*) FROM pc))::DOUBLE AS vocab),
-promoted AS (
+    conn_list = ", ".join(f"'{w}'" for w in PHRASE_CONNECTORS)
+
+    def _phrase_pass(src: str, q: str) -> str:
+        """One full Phrases pass over CTE ``src`` (doc_id, p, tok):
+        mining CTEs ``{q}promoted`` and the transformed stream
+        ``{q}emit`` (doc_id, p, tok)."""
+        return f"""{q}c0 AS (SELECT doc_id, p, tok,
+              tok IN ({conn_list}) AS conn FROM {src}),
+{q}c1 AS (SELECT *, max(CASE WHEN NOT conn THEN p END) OVER w AS anchor,
+               sum(CASE WHEN conn THEN 0 ELSE 1 END) OVER w AS r
+          FROM {q}c0
+          WINDOW w AS (PARTITION BY doc_id ORDER BY p
+                       ROWS UNBOUNDED PRECEDING)),
+{q}btw AS (SELECT doc_id, anchor, string_agg(tok, ' ' ORDER BY p) AS btw
+           FROM {q}c1 WHERE conn AND anchor IS NOT NULL
+           GROUP BY doc_id, anchor),
+{q}pr AS (SELECT c.doc_id, c.p, c.tok, c.r,
+                 CASE WHEN lead(c.tok) OVER w IS NULL THEN NULL
+                      ELSE concat_ws(' ', c.tok, b.btw,
+                                     lead(c.tok) OVER w) END AS phrase
+          FROM {q}c1 c LEFT JOIN {q}btw b
+            ON b.doc_id = c.doc_id AND b.anchor = c.p
+          WHERE NOT c.conn
+          WINDOW w AS (PARTITION BY c.doc_id ORDER BY c.p)),
+{q}pc AS (SELECT phrase, count(*) AS cnt FROM {q}pr
+          WHERE phrase IS NOT NULL GROUP BY phrase),
+{q}uni AS (SELECT tok, count(*) AS ucnt FROM {q}pr GROUP BY tok),
+{q}v AS (SELECT ((SELECT count(*) FROM {q}uni)
+               + (SELECT count(*) FROM {q}pc))::DOUBLE AS vocab),
+{q}promoted AS (
   SELECT pc.phrase, pc.cnt,
          round((pc.cnt - {mc})::DOUBLE * v.vocab
                / (ua.ucnt * ub.ucnt), 6) AS score
-  FROM pc
-  JOIN uni ua ON ua.tok = string_split(pc.phrase, ' ')[1]
-  JOIN uni ub ON ub.tok = string_split(pc.phrase, ' ')[2]
-  CROSS JOIN v
+  FROM {q}pc pc
+  JOIN {q}uni ua ON ua.tok = string_split(pc.phrase, ' ')[1]
+  JOIN {q}uni ub
+    ON ub.tok = string_split(pc.phrase, ' ')[len(string_split(pc.phrase, ' '))]
+  CROSS JOIN {q}v v
   WHERE pc.cnt >= {mc}
     AND (pc.cnt - {mc})::DOUBLE * v.vocab
         / (ua.ucnt * ub.ucnt) > {th}),
-st AS (SELECT pr.doc_id, pr.p, pr.tok, pr.phrase,
-              (promoted.phrase IS NOT NULL) AS flag
-       FROM pr LEFT JOIN promoted USING (phrase)),
-st2 AS (SELECT *, max(CASE WHEN NOT flag THEN p END)
-               OVER (PARTITION BY doc_id ORDER BY p
-                     ROWS UNBOUNDED PRECEDING) AS lu FROM st),
-st3 AS (SELECT *, (flag AND (p - coalesce(lu, 0)) % 2 = 1) AS matched
-        FROM st2),
-st4 AS (SELECT *, coalesce(lag(matched)
-               OVER (PARTITION BY doc_id ORDER BY p), false) AS consumed
-        FROM st3)"""
+{q}st AS (SELECT pr.*, (promoted.phrase IS NOT NULL) AS flag
+          FROM {q}pr pr LEFT JOIN {q}promoted promoted USING (phrase)),
+{q}st2 AS (SELECT *, max(CASE WHEN NOT flag THEN r END)
+                  OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS UNBOUNDED PRECEDING) AS lu FROM {q}st),
+{q}st3 AS (SELECT *, (flag AND (r - coalesce(lu, 0)) % 2 = 1) AS matched
+           FROM {q}st2),
+{q}st4 AS (SELECT *, coalesce(lag(matched)
+                  OVER (PARTITION BY doc_id ORDER BY p), false) AS consumed
+           FROM {q}st3),
+{q}emit AS (
+  SELECT doc_id, p, CASE WHEN matched THEN replace(phrase, ' ', '_')
+                         ELSE tok END AS tok
+  FROM {q}st4 WHERE NOT consumed
+  UNION ALL
+  SELECT c.doc_id, c.p, c.tok
+  FROM {q}c1 c LEFT JOIN {q}st3 m
+    ON m.doc_id = c.doc_id AND m.p = c.anchor
+  WHERE c.conn AND NOT coalesce(m.matched, false))"""
 
-    phrase_mine = f"WITH {phrase_ctes} SELECT phrase, cnt, score FROM promoted"
+    phrase_ctes = f"""{_TOKS_CTE},
+pos AS (SELECT doc_id, unnest(tokens) AS tok,
+               generate_subscripts(tokens, 1) AS p FROM toks),
+{_phrase_pass('pos', 'p1')}"""
+
+    phrase_mine = (
+        f"WITH {phrase_ctes} SELECT phrase, cnt, score FROM p1promoted"
+    )
 
     phrase_rewrite = f"""WITH {phrase_ctes},
-m AS (SELECT doc_id, p, replace(phrase, ' ', '_') AS j FROM st4 WHERE matched),
-agg AS (SELECT doc_id, list(j ORDER BY p DESC) AS phrases FROM m
+m AS (SELECT doc_id, p, tok FROM p1emit
+      WHERE len(string_split(tok, '_')) = 2),
+agg AS (SELECT doc_id, list(tok ORDER BY p DESC) AS phrases FROM m
         GROUP BY doc_id)
 SELECT t.doc_id,
        (len(t.tokens) + coalesce(len(a.phrases), 0))::INTEGER AS total_len,
@@ -1019,30 +1105,8 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"""
 
     trigram_mine = f"""WITH {phrase_ctes},
-emit AS (SELECT doc_id, p,
-                CASE WHEN matched THEN replace(phrase, ' ', '_')
-                     ELSE tok END AS tok2
-         FROM st4 WHERE NOT consumed),
-pr2 AS (SELECT doc_id, p, tok2,
-               tok2 || ' ' || lead(tok2)
-               OVER (PARTITION BY doc_id ORDER BY p) AS phrase FROM emit),
-pc2 AS (SELECT phrase, count(*) AS cnt FROM pr2 WHERE phrase IS NOT NULL
-        GROUP BY phrase),
-uni2 AS (SELECT tok2 AS tok, count(*) AS ucnt FROM pr2 GROUP BY tok2),
-v2 AS (SELECT ((SELECT count(*) FROM uni2)
-             + (SELECT count(*) FROM pc2))::DOUBLE AS vocab),
-promoted2 AS (
-  SELECT pc2.phrase, pc2.cnt,
-         round((pc2.cnt - {mc})::DOUBLE * v2.vocab
-               / (ua.ucnt * ub.ucnt), 6) AS score
-  FROM pc2
-  JOIN uni2 ua ON ua.tok = string_split(pc2.phrase, ' ')[1]
-  JOIN uni2 ub ON ub.tok = string_split(pc2.phrase, ' ')[2]
-  CROSS JOIN v2
-  WHERE pc2.cnt >= {mc}
-    AND (pc2.cnt - {mc})::DOUBLE * v2.vocab
-        / (ua.ucnt * ub.ucnt) > {th})
-SELECT phrase, cnt, score FROM promoted2
+{_phrase_pass('p1emit', 'p2')}
+SELECT phrase, cnt, score FROM p2promoted
 WHERE len(string_split(replace(phrase, ' ', '_'), '_')) = 3"""
 
     clean_pipeline = f"""WITH {_TOKS_CTE},
@@ -1417,6 +1481,31 @@ agg AS (SELECT pos.doc_id,
 SELECT t.doc_id, coalesce(a.stemmed_text, '') AS stemmed_text
 FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"""
 
+    # --- clean_pipeline_en twin (stem stage feeding the A2 filter) ---------
+    clean_pipeline_en = f"""WITH {_TOKS_CTE},
+pos0 AS (SELECT doc_id, unnest(tokens) AS term0,
+                generate_subscripts(tokens, 1) AS p FROM toks),
+dict AS (SELECT * FROM (VALUES {dict_vals}) AS d(term, stem)),
+pos AS (SELECT doc_id, p, coalesce(dict.stem, pos0.term0) AS term
+        FROM pos0 LEFT JOIN dict ON dict.term = pos0.term0),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
+filt AS (SELECT pos.doc_id, pos.p, pos.term
+         FROM pos JOIN dfreq USING (term)
+         WHERE dfreq.df >= {CLEAN_MIN_FREQ}
+           AND len(pos.term) >= {CLEAN_MIN_LEN}),
+ranked AS (SELECT doc_id, p, term,
+                  row_number() OVER (PARTITION BY doc_id ORDER BY p) AS rn,
+                  count(*) OVER (PARTITION BY doc_id) AS n1
+           FROM filt),
+kept AS (SELECT doc_id, max(n1) - 1 AS final_len,
+                coalesce(string_agg(term, ' ' ORDER BY p)
+                         FILTER (WHERE rn <= n1 - 1), '') AS final_text
+         FROM ranked WHERE n1 > {CLEAN_MIN_TOKENS} GROUP BY doc_id)
+SELECT t.doc_id, (k.doc_id IS NOT NULL)::INTEGER AS kept,
+       coalesce(k.final_len, 0)::INTEGER AS final_len,
+       coalesce(k.final_text, '') AS final_text
+FROM toks t LEFT JOIN kept k ON k.doc_id = t.doc_id"""
+
     # --- transcripts WAND twin ---------------------------------------------
     # BM25 re-derived in DuckDB from the docs table the index build stage
     # persisted (the same tokens the postings encode) — verifies assembly,
@@ -1490,5 +1579,6 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "minhash_pairs": minhash_pairs_sql,
         "simhash_near": simhash_near_sql,
         "stemmed": stemmed_sql,
+        "clean_pipeline_en": clean_pipeline_en,
         "transcripts_wand": transcripts_wand_sql,
     }
