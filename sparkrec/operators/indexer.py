@@ -322,6 +322,14 @@ class Index:
 
     _lexicon_cached: DataFrame | None = None
     _postings_cached: DataFrame | None = None
+    _lexicon_map: dict | None = None
+
+    #: build the driver-resident lexicon only below this vocabulary size.
+    #: The standard serving design keeps the lexicon in RAM (it is the
+    #: index's "dimension table"); 2M entries ≈ tens of MB on an 8g
+    #: driver. Above the cap, query paths fall back to the distributed
+    #: lexicon lookup — nothing breaks, one extra Spark job per query.
+    LEX_DRIVER_CACHE_MAX = 2_000_000
 
     def postings(self, spark: SparkSession) -> DataFrame:
         if self._postings_cached is not None:
@@ -340,8 +348,13 @@ class Index:
         you warm the lexicon plus the hot posting buckets and let
         MEMORY_AND_DISK spill the cold tail."""
         lex = read_table(spark, self.root, "lexicon").cache()
-        lex.count()
+        n_terms = lex.count()
         self._lexicon_cached = lex
+        if n_terms <= self.LEX_DRIVER_CACHE_MAX:
+            self._lexicon_map = {
+                r["term"]: (float(r["idf"]), int(r["term_bucket"]))
+                for r in lex.select("term", "idf", "term_bucket").collect()
+            }
         if postings:
             post = read_table(spark, self.root, "postings").cache()
             post.count()

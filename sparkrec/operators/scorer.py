@@ -158,6 +158,32 @@ def _query_term_rows(
     return rows
 
 
+def _lex_lookup(
+    spark: SparkSession, index: Index, terms: list[str]
+) -> tuple[dict[str, float], list[int]]:
+    """term → idf plus the term-bucket list for partition pruning.
+
+    Served from the warm driver-resident lexicon map when the vocabulary
+    fits ``Index.LEX_DRIVER_CACHE_MAX`` (zero Spark jobs — the serving
+    design keeps the lexicon in RAM); otherwise one pruned lexicon scan.
+    """
+    m = index._lexicon_map
+    if m is not None:
+        idf_map = {t: m[t][0] for t in terms if t in m}
+        buckets = sorted({m[t][1] for t in idf_map})
+        return idf_map, buckets
+    lex_rows = (
+        index.lexicon(spark)
+        .filter(F.col("term").isin(terms))
+        .select("term", "idf", "term_bucket")
+        .collect()
+    )
+    return (
+        {r["term"]: float(r["idf"]) for r in lex_rows},
+        sorted({r["term_bucket"] for r in lex_rows}),
+    )
+
+
 def bm25_query_topk_local(
     spark: SparkSession,
     index: Index,
@@ -190,16 +216,9 @@ def bm25_query_topk_local(
     if not terms:
         return empty
 
-    lex_rows = (
-        index.lexicon(spark)
-        .filter(F.col("term").isin(terms))
-        .select("term", "idf", "term_bucket")
-        .collect()
-    )
-    if not lex_rows:
+    idf_map, buckets = _lex_lookup(spark, index, terms)
+    if not idf_map:
         return empty
-    buckets = sorted({r["term_bucket"] for r in lex_rows})
-    idf_map = {r["term"]: float(r["idf"]) for r in lex_rows}
 
     blocks = (
         index.postings(spark)
@@ -276,14 +295,7 @@ def bm25_query_topk(
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    lex_rows = (
-        index.lexicon(spark)
-        .filter(F.col("term").isin(terms))
-        .select("term", "idf", "term_bucket")
-        .collect()
-    )
-    buckets = sorted({r["term_bucket"] for r in lex_rows})
-    idf_map = {r["term"]: float(r["idf"]) for r in lex_rows}
+    idf_map, buckets = _lex_lookup(spark, index, terms)
     live_terms = sorted(idf_map)
     if not live_terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
