@@ -54,7 +54,16 @@ def main() -> None:
             "pruning — the query touches only its terms' buckets) and "
             "`PushedFilters` containing the term In-set (reaches the "
             "parquet reader). The scoring kernel is a single "
-            "`FlatMapGroupsInPandas` (Arrow), never `BatchEvalPython`.",
+            "`FlatMapGroupsInPandas` (Arrow), never `BatchEvalPython`. "
+            "SERVING CONTRACT: this distributed path is BATCH-ONLY — its "
+            "per-query latency is Spark job-scheduling overhead (two "
+            "stages: pruned scan → grouped kernel), amortized away at "
+            "batch sizes but ~5× the interactive path on a single query. "
+            "Interactive point queries are served by "
+            "`scorer.bm25_query_topk_local` (same exact kernel, "
+            "scatter-gather over the pruned scan, zero shuffles) with the "
+            "warm driver-resident lexicon map supplying idf+bucket lookups "
+            "job-free on both paths (indexer.Index.warm).",
             plan(bm25_query_topk(spark, idx, [("q", "term0001 term0007")], 5)),
         ),
         (
