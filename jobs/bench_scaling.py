@@ -39,7 +39,9 @@ sys.path.insert(0, REPO)
 # narrow ones — systematically depressing low→high efficiency ratios. Each
 # trial is therefore sampled at 1 Hz from /proc/stat (aggregate cpu line,
 # field 8 = steal jiffies) and DISCARDED + retried when the window's mean
-# or peak stolen-vCPU figure exceeds the gate.
+# or sustained 10 s rolling-mean stolen-vCPU figure exceeds the gate (a
+# single stolen second in a many-minute window is harmless noise; gating
+# on the raw 1 s peak rejects nearly every long trial on this box).
 # ---------------------------------------------------------------------------
 
 def _steal_jiffies() -> int:
@@ -69,9 +71,18 @@ class StealSampler(threading.Thread):
         self._halt.set()
         self.join(timeout=5)
         tr = self.trace or [0.0]
+        # burst = worst 10-sample rolling mean: a single stolen second in
+        # a 15-minute window is noise a best-of-N wall shrugs off, but a
+        # SUSTAINED multi-vCPU burst is exactly what skews wide phases —
+        # gate on the sustained figure, record the raw 1 s peak too.
+        win = min(10, len(tr))
+        roll = max(
+            sum(tr[i:i + win]) / win for i in range(len(tr) - win + 1)
+        )
         return {
             "steal_mean_vcpu": round(sum(tr) / len(tr), 3),
             "steal_peak_vcpu": round(max(tr), 3),
+            "steal_burst10_vcpu": round(roll, 3),
             "steal_trace": [round(x, 2) for x in tr],
         }
 
@@ -167,10 +178,11 @@ def main(argv=None) -> dict | None:
                    help="interleaved rounds; best-of-N per level "
                         "(shared-box noise control)")
     p.add_argument("--root", default="/tmp/sparkrec_scaling")
-    p.add_argument("--steal-mean-max", type=float, default=1.0,
+    p.add_argument("--steal-mean-max", type=float, default=0.75,
                    help="discard a trial whose mean stolen vCPUs exceed this")
-    p.add_argument("--steal-peak-max", type=float, default=4.0,
-                   help="discard a trial whose 1s steal burst exceeds this")
+    p.add_argument("--steal-burst-max", type=float, default=3.0,
+                   help="discard a trial whose worst 10 s rolling-mean "
+                        "steal exceeds this many vCPUs")
     p.add_argument("--steal-retries", type=int, default=2,
                    help="max re-runs per contaminated trial before keeping "
                         "the least-stolen attempt (marked contaminated)")
@@ -215,7 +227,7 @@ def main(argv=None) -> dict | None:
         rec.update(steal)
         rec["steal_clean"] = (
             steal["steal_mean_vcpu"] <= args.steal_mean_max
-            and steal["steal_peak_vcpu"] <= args.steal_peak_max
+            and steal["steal_burst10_vcpu"] <= args.steal_burst_max
         )
         return rec
 
@@ -229,7 +241,8 @@ def main(argv=None) -> dict | None:
                 tag = "clean" if rec["steal_clean"] else "CONTAMINATED"
                 sys.stderr.write(
                     f"[steal-gate] round {_round} local[{cores}] attempt "
-                    f"{attempt}: mean {rec['steal_mean_vcpu']} peak "
+                    f"{attempt}: mean {rec['steal_mean_vcpu']} burst10 "
+                    f"{rec['steal_burst10_vcpu']} peak "
                     f"{rec['steal_peak_vcpu']} vCPU -> {tag}\n"
                 )
                 if rec["steal_clean"]:
@@ -257,11 +270,13 @@ def main(argv=None) -> dict | None:
         best["steal_clean_trials"] = sum(r["steal_clean"] for r in runs)
         best["steal_mean_vcpu"] = round(
             sum(r["steal_mean_vcpu"] for r in runs) / len(runs), 3)
+        best["steal_burst10_vcpu"] = max(
+            r["steal_burst10_vcpu"] for r in runs)
         best["steal_peak_vcpu"] = max(r["steal_peak_vcpu"] for r in runs)
         traces[cores] = [
             {k: r[k] for k in
-             ("steal_mean_vcpu", "steal_peak_vcpu", "steal_clean",
-              "build_sec", "query_sec", "steal_trace")}
+             ("steal_mean_vcpu", "steal_burst10_vcpu", "steal_peak_vcpu",
+              "steal_clean", "build_sec", "query_sec", "steal_trace")}
             for r in runs
         ]
         best.pop("steal_trace", None)
@@ -272,7 +287,7 @@ def main(argv=None) -> dict | None:
         json.dump(
             {
                 "gate": {"mean_max": args.steal_mean_max,
-                         "peak_max": args.steal_peak_max,
+                         "burst10_max": args.steal_burst_max,
                          "retries": args.steal_retries},
                 "accepted_trials_per_level": traces,
             },
@@ -312,13 +327,13 @@ levels). Single-configuration per-round numbers live in `BENCH_r*.json`
 | query batch (queries/sec) | {lo['queries_per_sec']} | {hi['queries_per_sec']} | **{eff_query:.3f}** |
 | build wall (sec, {lo['n_turns']} turns) | {lo['build_sec']} | {hi['build_sec']} | |
 | query wall (sec, {lo.get('n_queries', 250)} queries, k=10) | {lo['query_sec']} | {hi['query_sec']} | |
-| steal during accepted trials (mean / peak vCPU) | {lo['steal_mean_vcpu']} / {lo['steal_peak_vcpu']} | {hi['steal_mean_vcpu']} / {hi['steal_peak_vcpu']} | |
+| steal during accepted trials (mean / burst10 / peak vCPU) | {lo['steal_mean_vcpu']} / {lo['steal_burst10_vcpu']} / {lo['steal_peak_vcpu']} | {hi['steal_mean_vcpu']} / {hi['steal_burst10_vcpu']} / {hi['steal_peak_vcpu']} | |
 
 Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
 
 **Steal gating**: every trial window was sampled at 1 Hz from `/proc/stat`
-(field 8); trials with mean stolen vCPUs > {args.steal_mean_max} or a 1 s
-burst > {args.steal_peak_max} were discarded and re-run (up to
+(field 8); trials with mean stolen vCPUs > {args.steal_mean_max} or a sustained 10 s
+rolling-mean burst > {args.steal_burst_max} stolen vCPUs were discarded and re-run (up to
 {args.steal_retries} retries). Accepted clean trials: {lo['steal_clean_trials']}/{args.trials}
 at local[{args.low}], {hi['steal_clean_trials']}/{args.trials} at local[{args.high}]. Full per-trial 1 Hz
 steal traces: `{os.path.basename(os.path.splitext(args.out_md)[0])}_steal.json`.
