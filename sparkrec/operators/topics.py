@@ -19,14 +19,13 @@ Spark restatement:
   corpus materialization anywhere.
 - Stability is the reference's exact Jaccard (including its empty-topic
   fixes) over top-word SETS — O(K²) driver arithmetic on K×10 words.
-- Coherence is UMass (Mimno et al. 2011) computed DISTRIBUTED: the
-  candidate word set (≤ ΣK·10 words) broadcasts into one distinct
-  (doc, term) scan; co-document frequencies come from one self-join on
-  doc_id restricted to needed pairs. The reference uses gensim's c_v
-  (sliding-window NPMI); c_v needs windowed co-occurrence scans per
-  model — UMass preserves the selection ROLE (a co-occurrence coherence
-  score rising with topic quality) at one corpus scan for all models.
-  Divergence documented; the selection rule itself is reference-exact.
+- Coherence defaults to **c_v — the statistic the reference actually
+  requests from gensim** (utils.py:184-191) — implemented from the
+  published pipeline (Röder et al. 2015: boolean sliding windows of
+  110, NPMI direct confirmation, one-set cosine indirect confirmation)
+  as one ``mapInPandas`` counting pass + driver math; see
+  ``cv_coherence``. UMass (Mimno et al. 2011) remains available
+  (``coherence="umass"``) as the cheaper two-aggregation variant.
 - ``ideal_topic_num``: first argmax of (coherence − stability), the T9
   argmax. Returned as data (the reference returns a seaborn plot; the
   numbers ARE the operator).
@@ -208,6 +207,166 @@ def umass_coherence(
     return sum(per_topic) / len(per_topic) if per_topic else 0.0
 
 
+def cv_coherence(
+    tokenized: DataFrame,
+    topics: list[list[str]],
+    tokens_col: str = "tokens",
+    window_size: int = 110,
+    eps: float = 1e-12,
+    gamma: float = 1.0,
+) -> float:
+    """c_v coherence (Röder, Both & Hinneburg, WSDM 2015) — the measure
+    the reference requests from gensim (utils.py:184-191,
+    ``coherence="c_v"``), implemented from the published pipeline with
+    gensim's default parameterization:
+
+    - **boolean sliding windows** of size 110, step 1, over each
+      document (a document shorter than the window is one window);
+      probabilities are window frequencies P(w) = |windows ∋ w| / N.
+    - **one-set segmentation** S_one_set: each topic word w_i is
+      confirmed against the topic's full top-word set W.
+    - **direct confirmation** NPMI(w_i, w_j) =
+      log((P(w_i,w_j)+ε) / (P(w_i)·P(w_j))) / −log(P(w_i,w_j)+ε),
+      ε = 1e-12; P(w,w) = P(w).
+    - **indirect confirmation**: context vectors u(w_i)_j =
+      NPMI(w_i, w_j)^γ over j ∈ W (γ = 1), compared by cosine against
+      u(W) = Σ_i u(w_i); topic score = mean cosine, model score = mean
+      of topic scores.
+
+    Distributed shape: one ``mapInPandas`` pass over the corpus emits
+    per-document partial counts — total windows, per-word window counts
+    (interval-union length of the occurrence windows), and window
+    co-occurrence counts for exactly the pairs the topic sets need
+    (two-pointer interval intersection; O(occurrences) per pair, never a
+    per-window materialization, so a 10^6-token document costs its
+    occurrence count, not its window count) — followed by one tiny
+    groupBy-sum. All NPMI/cosine math runs on the driver over ≤ |W|²·K
+    numbers. Exactness is fuzz-tested against a window-enumerating
+    Python twin (tests/test_topics.py).
+    """
+    import math
+
+    words = sorted({w for t in topics for w in t})
+    if not words:
+        return 0.0
+    widx = {w: i for i, w in enumerate(words)}
+    need_pairs = sorted(
+        {
+            (min(widx[a], widx[b]), max(widx[a], widx[b]))
+            for t in topics
+            for a in t
+            for b in t
+            if a != b
+        }
+    )
+    pairs_by_word: dict[int, list[int]] = {}
+    for i, j in need_pairs:
+        pairs_by_word.setdefault(i, []).append(j)
+
+    W = int(window_size)
+
+    def counts_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_i: list[int] = []
+            out_j: list[int] = []
+            out_c: list[int] = []
+            for toks in pdf[tokens_col]:
+                L = len(toks)
+                nw = max(1, L - W + 1)
+                out_i.append(-1)
+                out_j.append(-1)
+                out_c.append(nw)
+                occ: dict[int, list[tuple[int, int]]] = {}
+                for p, t in enumerate(toks):
+                    k = widx.get(t)
+                    if k is None:
+                        continue
+                    lo, hi = max(0, p - W + 1), min(p, nw - 1)
+                    ivs = occ.setdefault(k, [])
+                    if ivs and lo <= ivs[-1][1] + 1:
+                        if hi > ivs[-1][1]:
+                            ivs[-1] = (ivs[-1][0], hi)
+                    else:
+                        ivs.append((lo, hi))
+                for k, ivs in occ.items():
+                    out_i.append(k)
+                    out_j.append(k)
+                    out_c.append(sum(b - a + 1 for a, b in ivs))
+                for i in occ:
+                    for j in pairs_by_word.get(i, ()):
+                        if j not in occ:
+                            continue
+                        a, b = occ[i], occ[j]
+                        ai = bi = inter = 0
+                        while ai < len(a) and bi < len(b):
+                            lo = max(a[ai][0], b[bi][0])
+                            hi = min(a[ai][1], b[bi][1])
+                            if lo <= hi:
+                                inter += hi - lo + 1
+                            if a[ai][1] < b[bi][1]:
+                                ai += 1
+                            else:
+                                bi += 1
+                        if inter:
+                            out_i.append(i)
+                            out_j.append(j)
+                            out_c.append(inter)
+            yield pd.DataFrame({"i": out_i, "j": out_j, "cnt": out_c})
+
+    agg = (
+        tokenized.select(tokens_col)
+        .mapInPandas(counts_kernel, schema="i int, j int, cnt long")
+        .groupBy("i", "j")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    n_windows = 0
+    c1: dict[int, int] = {}
+    c2: dict[tuple[int, int], int] = {}
+    for r in agg:
+        if r["i"] == -1:
+            n_windows = int(r["cnt"])
+        elif r["i"] == r["j"]:
+            c1[r["i"]] = int(r["cnt"])
+        else:
+            c2[(r["i"], r["j"])] = int(r["cnt"])
+    if n_windows == 0:
+        return 0.0
+
+    def npmi(i: int, j: int) -> float:
+        pi = c1.get(i, 0) / n_windows
+        pj = c1.get(j, 0) / n_windows
+        if pi == 0.0 or pj == 0.0:
+            return 0.0
+        pij = pi if i == j else c2.get((min(i, j), max(i, j)), 0) / n_windows
+        return math.log((pij + eps) / (pi * pj)) / -math.log(pij + eps)
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        if na == 0.0 or nb == 0.0:
+            return 0.0
+        return dot / (na * nb)
+
+    per_topic = []
+    for t in topics:
+        idxs = [widx[w] for w in t]
+        if not idxs:
+            per_topic.append(0.0)
+            continue
+        ctx = [
+            [npmi(i, j) ** gamma for j in idxs]
+            for i in idxs
+        ]
+        v_star = [sum(col) for col in zip(*ctx)]
+        sims = [cos(u, v_star) for u in ctx]
+        per_topic.append(sum(sims) / len(sims))
+    return sum(per_topic) / len(per_topic) if per_topic else 0.0
+
+
 def topic_evals(
     tokenized: DataFrame,
     num_topic_words: int = 10,
@@ -215,6 +374,7 @@ def topic_evals(
     seed: int = 42,
     max_iter: int = 10,
     vocab_size: int = 1 << 18,
+    coherence: str = "cv",
 ) -> DataFrame:
     """T9: per-candidate-count metrics + the ideal-count argmax.
 
@@ -249,9 +409,8 @@ def topic_evals(
         mean_stabilities.append(sum(sims) / len(sims) if sims else 0.0)
 
     compared = topic_nums_to_compare[:-1]
-    coherences = [
-        umass_coherence(tokenized, topics_by_k[k]) for k in compared
-    ]
+    score = cv_coherence if coherence == "cv" else umass_coherence
+    coherences = [score(tokenized, topics_by_k[k]) for k in compared]
     tokenized.unpersist()
 
     diffs = [coherences[i] - mean_stabilities[i] for i in range(len(compared))]

@@ -261,3 +261,44 @@ def test_wikixml_parse_is_arrow_vectorized(spark, tmp_path):
     p = plan(read_wiki_dump(spark, path))
     assert "MapInPandas" in p
     assert "BatchEvalPython" not in p
+
+
+def test_connector_phrase_mining_no_python_and_broadcast_rewrite(spark):
+    """Connector-aware phrase mining/transform is pure Catalyst: window
+    algebra + hash aggregates, the promoted table broadcast into the
+    greedy scan, no Python eval node anywhere."""
+    from sparkrec.operators.phrases import bigram_transform, mine_bigrams
+
+    df = spark.createDataFrame(
+        [(i, ["bank", "of", "america", "w1", "w2"]) for i in range(40)],
+        "doc_id long, tokens array<string>",
+    )
+    conn = ["of", "the"]
+    mined = mine_bigrams(df, 3, 0.5, connector_words=conn)
+    p1 = plan(mined)
+    assert "BatchEvalPython" not in p1 and "EvalPython" not in p1
+    out = bigram_transform(df, mined, connector_words=conn)
+    p2 = plan(out)
+    assert "BatchEvalPython" not in p2 and "EvalPython" not in p2
+    assert "BroadcastHashJoin" in p2, "promoted table must broadcast"
+
+
+def test_point_query_local_path_runs_single_job_after_warm(spark, index):
+    """The interactive scatter-gather path with a warm lexicon map must
+    run exactly ONE Spark job per query (the pruned postings fetch) —
+    the lexicon lookup is served from the driver-resident map."""
+    from sparkrec.operators.scorer import bm25_query_topk_local
+
+    index.warm(spark)
+    assert index._lexicon_map, "warm() must build the driver lexicon map"
+    sc = spark.sparkContext
+    # warm-up call (first use may JIT/pin things); then the probe
+    bm25_query_topk_local(spark, index, [("w", "term0001")], 3)
+    sc.setJobGroup("lexmap-probe", "single-job point query")
+    try:
+        out = bm25_query_topk_local(spark, index, [("q", "term0001")], 3)
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(out) > 0
+    ids = sc.statusTracker().getJobIdsForGroup("lexmap-probe")
+    assert len(ids) == 1, f"expected 1 job on the warm local path, got {ids}"
