@@ -8,10 +8,11 @@ analysis / multimodal plumbing).
 decimals for BM25 sums, 6 for ratios/cosines) on BOTH sides, and every
 ranking orders by the ROUNDED value with an id tie-break, so cross-engine
 value-hash comparison is stable. The MinHash-LSH and SimHash entries run
-the md5_60 hash family (dedup.py module notes) so their full pipelines
-replay in DuckDB; truly SQL-inexpressible operators (iterative ML fits,
-numpy-hyperplane ANN multiprobe, multimodal decode fakes) have no oracle
-entry → driver records rows-only checks.
+the md5_60 hash family (dedup.py module notes) and the ANN multiprobe
+entry replays its hyperplane projections/flip order in SQL, so those full
+pipelines verify in DuckDB; truly SQL-inexpressible operators (iterative
+ML fits, multimodal decode fakes) have no oracle entry → driver records
+rows-only checks.
 """
 
 from __future__ import annotations
@@ -159,11 +160,47 @@ def _ranked(scores: DataFrame, k: int, per_query: bool) -> DataFrame:
     return out.select(*cols)
 
 
+#: IndexConfig for every entry-contract index build (documents AND
+#: transcripts) — part of the cache fingerprint below.
+_ENTRY_IDX_CFG = dict(block_range=64, docs_per_shard=4096, n_term_buckets=8)
+
+
+def _index_cache_fingerprint() -> str:
+    """Content fingerprint folded into the /tmp index-cache root names:
+    any change to datagen, tokenization, doc assembly, the codec, the
+    index layout, or the entry IndexConfig renames the root and forces a
+    fresh skip-if-exists build (ADVICE r3: previously a forgotten manual
+    version bump would let BOTH engines verify a stale on-disk index and
+    'pass' without exercising current code)."""
+    import sparkrec.datagen
+    import sparkrec.functions.sqltok
+    import sparkrec.functions.textprep
+    import sparkrec.operators.bm25
+    import sparkrec.operators.codec
+    import sparkrec.operators.docs
+    import sparkrec.operators.indexer
+
+    h = hashlib.md5(repr(sorted(_ENTRY_IDX_CFG.items())).encode())
+    for mod in (
+        sparkrec.datagen,
+        sparkrec.functions.sqltok,
+        sparkrec.functions.textprep,
+        sparkrec.operators.bm25,
+        sparkrec.operators.codec,
+        sparkrec.operators.docs,
+        sparkrec.operators.indexer,
+    ):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:10]
+
+
+_IDX_FP = _index_cache_fingerprint()
+
+
 def _entry_index_root(sf_dir: str) -> str:
-    # v3: postings schema dropped the dead max_weight column — the tag
-    # keys the on-disk cache so stale-schema indexes are never reused
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join("/tmp", f"sparkrec_entry_idx_v3_{tag}")
+    return os.path.join("/tmp", f"sparkrec_entry_idx_{_IDX_FP}_{tag}")
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):
@@ -172,7 +209,7 @@ def _docs_index(spark: SparkSession, sf_dir: str):
     from sparkrec.operators.indexer import Index, IndexConfig, build_index_from_docs
 
     root = _entry_index_root(sf_dir)
-    cfg = IndexConfig(block_range=64, docs_per_shard=4096, n_term_buckets=8)
+    cfg = IndexConfig(**_ENTRY_IDX_CFG)
     docs = _tokenized(spark, sf_dir)
     build_index_from_docs(spark, docs, root, cfg)
     return Index.load(spark, root)
@@ -775,15 +812,23 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+LSH_TOPK_PLANES = 6
+LSH_TOPK_MULTIPROBE = 2
+
+
 def q_lsh_cosine_topk(spark, sf_dir):
+    """ANN cosine top-k probing the query's LSH bucket + 2 multiprobe
+    flips. Hash-oracled (round-4 upgrade from rows-only): the hyperplanes
+    are shared literals, and _probe_buckets' sequential-fold projections
+    + (|margin|, plane) flip ordering are replayed exactly in the DuckDB
+    twin — same trick as the banded near-dup / md5_60 oracles."""
     from sparkrec.operators.simsearch import add_lsh_buckets, cosine_topk_lsh
 
     emb = _read_wide(spark, sf_dir, "embeddings")
-    dim = len(_query_vec(spark, sf_dir))
-    bucketed = add_lsh_buckets(emb, dim=dim, n_planes=6)
+    bucketed = add_lsh_buckets(emb, dim=EMB_DIM, n_planes=LSH_TOPK_PLANES)
     return cosine_topk_lsh(
-        bucketed, _query_vec(spark, sf_dir), TOP_K, dim=dim, n_planes=6,
-        multiprobe=2,
+        bucketed, _query_vec(spark, sf_dir), TOP_K, dim=EMB_DIM,
+        n_planes=LSH_TOPK_PLANES, multiprobe=LSH_TOPK_MULTIPROBE,
     )
 
 
@@ -803,7 +848,9 @@ def q_media_features(spark, sf_dir):
 # on-disk index serves every sf_dir AND gives the oracle a fixed path to
 # the persisted docs table (the build's own parquet output — DuckDB
 # re-derives BM25 from it and must match the WAND kernel's scores).
-_TRANSCRIPTS_INDEX_ROOT = "/tmp/sparkrec_entry_idx_v3_transcripts"
+# The fingerprint in the name auto-invalidates the cache on any relevant
+# code/config change (see _index_cache_fingerprint).
+_TRANSCRIPTS_INDEX_ROOT = f"/tmp/sparkrec_entry_idx_{_IDX_FP}_transcripts"
 TRANSCRIPT_QUERIES = [("t1", "term0001 term0007"), ("t2", "term0500")]
 
 
@@ -816,7 +863,7 @@ def q_transcripts_wand(spark, sf_dir):
     from sparkrec.operators.scorer import bm25_query_topk
 
     root = _TRANSCRIPTS_INDEX_ROOT
-    cfg = IndexConfig(block_range=64, docs_per_shard=4096, n_term_buckets=8)
+    cfg = IndexConfig(**_ENTRY_IDX_CFG)
     t = transcripts_df(spark, n_convs=150)
     build_index(spark, t, root, cfg)
     idx = Index.load(spark, root)
@@ -874,12 +921,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near": q_simhash_near,
         "minhash_pairs": q_minhash_pairs,
         "transcripts_wand": q_transcripts_wand,
-        # rows-only (no SQL-expressible oracle: iterative ML fits, the
-        # numpy-RNG ANN hyperplane multiprobe, float32 decode fakes):
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        # rows-only (no SQL-expressible oracle: iterative ML fits,
+        # float32 decode fakes):
         "doc2vec_topk": q_doc2vec_topk,
         "lda_doc_topics": q_lda_doc_topics,
         "lda_topic_evals": q_lda_topic_evals,
-        "lsh_cosine_topk": q_lsh_cosine_topk,
         "media_features": q_media_features,
     }
 
@@ -900,20 +947,25 @@ def _stem_dict() -> list[tuple[str, str]]:
     the algorithm itself is spec/fuzz-tested in tests/test_stem.py)."""
     global _STEM_DICT_CACHE
     if _STEM_DICT_CACHE is None:
+        import glob
+
         import duckdb
 
         from sparkrec.functions.stem import snowball_en
 
         con = duckdb.connect()
         vocab: set[str] = set()
-        for sf in ("sf0.001", "sf0.01", "sf0.1"):
-            path = f"/root/testdata/{sf}/documents.parquet"
-            if os.path.exists(path):
-                q = (
-                    f"SELECT DISTINCT unnest({duck_tokenize('text')}) "
-                    f"FROM read_parquet('{path}')"
-                )
-                vocab.update(r[0] for r in con.execute(q).fetchall())
+        # every sf dir present, not a hardcoded list — a new sf under
+        # /root/testdata is covered automatically; a corpus term that
+        # still escapes the dictionary surfaces as a loud
+        # '__STEMDICT_MISS__'-prefixed value in the twin SQL rather than
+        # a silent unstemmed coalesce (ADVICE r3)
+        for path in sorted(glob.glob("/root/testdata/*/documents.parquet")):
+            q = (
+                f"SELECT DISTINCT unnest({duck_tokenize('text')}) "
+                f"FROM read_parquet('{path}')"
+            )
+            vocab.update(r[0] for r in con.execute(q).fetchall())
         _STEM_DICT_CACHE = sorted((t, snowball_en(t)) for t in vocab)
     return _STEM_DICT_CACHE
 
@@ -1258,6 +1310,46 @@ ORDER BY score DESC, vec_id LIMIT {TOP_K}"""
         f"SELECT vec_id, v, {t} AS tbl, {_bucket_sql(t)} AS bucket FROM e"
         for t in range(ND_TABLES)
     )
+    # --- LSH cosine top-k twin (round-4 oracle upgrade) ---------------------
+    # Replays the WHOLE multiprobe pipeline in SQL from the shared
+    # hyperplane literals: per-vector sign buckets, the query's projection
+    # margins (list_dot_product == the Python sequential fold in
+    # simsearch._probe_buckets, both plain float64 left-folds), flip
+    # selection ordered (|margin| asc, plane asc), then brute-force cosine
+    # inside the probed buckets only.
+    lsh_planes = _hyperplanes(EMB_DIM, LSH_TOPK_PLANES, seed=42)
+
+    def _plane_lit_lsh(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]"
+
+    lsh_proj_branches = " UNION ALL ".join(
+        f"SELECT {j} AS j, {1 << j} AS bit, "
+        f"list_dot_product(qv, {_plane_lit_lsh(lsh_planes[j])}) AS p FROM q"
+        for j in range(LSH_TOPK_PLANES)
+    )
+    lsh_bucket_sql = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_plane_lit_lsh(lsh_planes[j])}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(LSH_TOPK_PLANES)
+    )
+    lsh_topk = f"""WITH e AS (SELECT vec_id,
+         list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+proj AS ({lsh_proj_branches}),
+base AS (SELECT sum(CASE WHEN p > 0 THEN bit ELSE 0 END)::BIGINT AS b FROM proj),
+flips AS (SELECT bit FROM proj ORDER BY abs(p), j LIMIT {LSH_TOPK_MULTIPROBE}),
+probes AS (SELECT b AS bucket FROM base
+           UNION ALL SELECT xor(b, bit::BIGINT) FROM base CROSS JOIN flips),
+cand AS (SELECT vec_id, v FROM
+           (SELECT vec_id, v, {lsh_bucket_sql} AS bucket FROM e)
+         WHERE bucket IN (SELECT bucket FROM probes)),
+scored AS (SELECT c.vec_id,
+    round(list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+  FROM cand c CROSS JOIN q)
+SELECT vec_id, cos FROM scored ORDER BY cos DESC, vec_id LIMIT {TOP_K}"""
+
     near_dup = f"""WITH e AS (SELECT vec_id,
          list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 b AS ({bands_union}),
@@ -1475,8 +1567,9 @@ pos AS (SELECT doc_id, unnest(tokens) AS term,
                generate_subscripts(tokens, 1) AS p FROM toks),
 dict AS (SELECT * FROM (VALUES {dict_vals}) AS d(term, stem)),
 agg AS (SELECT pos.doc_id,
-               string_agg(coalesce(dict.stem, pos.term), ' ' ORDER BY pos.p)
-               AS stemmed_text
+               string_agg(coalesce(dict.stem,
+                                   '__STEMDICT_MISS__' || pos.term),
+                          ' ' ORDER BY pos.p) AS stemmed_text
         FROM pos LEFT JOIN dict USING (term) GROUP BY pos.doc_id)
 SELECT t.doc_id, coalesce(a.stemmed_text, '') AS stemmed_text
 FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"""
@@ -1486,7 +1579,8 @@ FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id"""
 pos0 AS (SELECT doc_id, unnest(tokens) AS term0,
                 generate_subscripts(tokens, 1) AS p FROM toks),
 dict AS (SELECT * FROM (VALUES {dict_vals}) AS d(term, stem)),
-pos AS (SELECT doc_id, p, coalesce(dict.stem, pos0.term0) AS term
+pos AS (SELECT doc_id, p,
+               coalesce(dict.stem, '__STEMDICT_MISS__' || pos0.term0) AS term
         FROM pos0 LEFT JOIN dict ON dict.term = pos0.term0),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM pos GROUP BY term),
 filt AS (SELECT pos.doc_id, pos.p, pos.term
@@ -1565,6 +1659,7 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "quality": quality,
         "fingerprints": fingerprints,
         "cosine_topk": cosine,
+        "lsh_cosine_topk": lsh_topk,
         "euclidean_topk": euclidean,
         "recommend_embeddings": recommend_emb,
         "embedding_near_dup": near_dup,

@@ -101,7 +101,7 @@ _EXCEPTIONS = {
     "produced": "produce", "producing": "produce", "reduced": "reduce",
     "reducing": "reduce", "required": "require", "requiring": "require",
     "believed": "believe", "believing": "believe", "served": "serve",
-    "serving": "serve", "becoming": "become", "became": "become",
+    "serving": "serve", "becoming": "become",
 }
 
 _VOWELS = set("aeiou")

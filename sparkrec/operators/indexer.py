@@ -49,7 +49,21 @@ from sparkrec.operators.bm25 import (
 )
 from sparkrec.operators.codec import encode_postings_many
 from sparkrec.operators.docs import assemble_docs, assign_doc_ids
-from sparkrec.sources.tables import read_table, table_exists, write_table
+from sparkrec.sources.tables import (
+    bump_index_epoch,
+    read_index_epoch,
+    read_table,
+    table_exists,
+    write_table,
+)
+
+
+class StaleIndexError(RuntimeError):
+    """Raised when a loaded/warmed Index handle is queried after the
+    on-disk index moved to a newer epoch (e.g. a streaming merge rewrote
+    lexicon/stats and appended postings). The handle's pinned caches and
+    frozen (n_docs, avgdl) would silently mis-score — reload via
+    ``Index.load`` or ``Index.refresh`` instead."""
 
 POSTINGS_SCHEMA = (
     "term string, shard int, block_id long, n int, doc_lo long, doc_hi long, "
@@ -69,9 +83,11 @@ class IndexConfig:
     # measured at 2M turns, 64k-posting groups make the encode stage
     # straggler-bound (hot-term groups pin whole tasks; 8-core encode wall
     # 71 s) while 16k groups smooth the distribution (50 s at 8 cores,
-    # fastest measured at 2 cores too). Block layout is UNAFFECTED —
-    # blocks are cut at block_range boundaries inside any grouping, so the
-    # index bytes and query results are identical for any value here.
+    # fastest measured at 2 cores too). Block CONTENTS and query results
+    # are identical for any value here (blocks are cut at block_range
+    # boundaries inside any grouping) — but the stored `shard` column
+    # values and shard counts DO change with it, so treat a retune as a
+    # content-neutral but not byte-neutral change.
     docs_per_shard: int = 16384
     n_term_buckets: int = 16       # postings partition count (↑ on clusters)
 
@@ -236,15 +252,19 @@ def build_index_from_docs(
 
     cfg = cfg or IndexConfig()
 
+    ran_any = False
+
     with Stage("docs", index_root, overwrite and docs is not None, metrics) as st:
         if st.needed and docs is not None:
             write_table(docs, index_root, "docs")
         elif st.needed:
             raise ValueError("docs DataFrame required: no docs table at root")
+        ran_any |= st.needed
 
     docs = read_table(spark, index_root, "docs")
 
     with Stage("stats", index_root, overwrite, metrics) as st:
+        ran_any |= st.needed
         if st.needed:
             row = docs.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -278,6 +298,7 @@ def build_index_from_docs(
     tf = term_freqs(docs).persist(StorageLevel.MEMORY_AND_DISK)
 
     with Stage("lexicon", index_root, overwrite, metrics) as st:
+        ran_any |= st.needed
         if st.needed:
             lex = doc_freqs(tf).withColumn(
                 "idf",
@@ -293,6 +314,7 @@ def build_index_from_docs(
             write_table(lex, index_root, "lexicon")
 
     with Stage("postings", index_root, overwrite, metrics) as st:
+        ran_any |= st.needed
         if st.needed:
             lex = read_table(spark, index_root, "lexicon").select("term", "df")
             tf_with_df = tf.join(lex, "term")
@@ -302,6 +324,39 @@ def build_index_from_docs(
             )
             write_table(enc, index_root, "postings", partition_by=["term_bucket"])
     tf.unpersist(blocking=True)
+
+    if ran_any:
+        # any (re)written stage changed query-visible state: move the
+        # index epoch forward so handles loaded earlier fail loudly
+        # (Index.check_fresh) instead of serving stale idf/avgdl/blocks
+        bump_index_epoch(index_root)
+
+
+class _DriverLexicon:
+    """Compact driver-resident term → (idf, term_bucket) map.
+
+    One str→row dict plus two parallel numpy arrays — ~100 MB per 1M
+    terms, vs ~500 MB for a plain dict of (float, int) tuples (the dict
+    slot + tuple + boxed-float overhead dominates). Duck-typed like a
+    mapping for the two ops the scorer uses (``in``, ``[term]``).
+    """
+
+    __slots__ = ("_row", "_idf", "_bucket")
+
+    def __init__(self, terms, idf, bucket):
+        self._row = {t: i for i, t in enumerate(terms)}
+        self._idf = np.asarray(idf, dtype=np.float64)
+        self._bucket = np.asarray(bucket, dtype=np.int32)
+
+    def __contains__(self, term) -> bool:
+        return term in self._row
+
+    def __len__(self) -> int:
+        return len(self._row)
+
+    def __getitem__(self, term):
+        i = self._row[term]
+        return float(self._idf[i]), int(self._bucket[i])
 
 
 @dataclass
@@ -313,6 +368,10 @@ class Index:
     k1: float
     b: float
     block_range: int
+    #: epoch of the on-disk index this handle was loaded from; compared
+    #: against the sidecar (or Iceberg snapshot) before serving so a
+    #: handle held across a merge/rebuild fails loudly (StaleIndexError)
+    epoch: int = 1
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "Index":
@@ -325,18 +384,50 @@ class Index:
             k1=float(stats["k1"]),
             b=float(stats["b"]),
             block_range=int(stats["block_range"]),
+            epoch=read_index_epoch(root) or 1,
         )
 
     _lexicon_cached: DataFrame | None = None
     _postings_cached: DataFrame | None = None
-    _lexicon_map: dict | None = None
+    _lexicon_map: _DriverLexicon | None = None
 
     #: build the driver-resident lexicon only below this vocabulary size.
     #: The standard serving design keeps the lexicon in RAM (it is the
-    #: index's "dimension table"); 2M entries ≈ tens of MB on an 8g
-    #: driver. Above the cap, query paths fall back to the distributed
-    #: lexicon lookup — nothing breaks, one extra Spark job per query.
-    LEX_DRIVER_CACHE_MAX = 2_000_000
+    #: index's "dimension table"); 1M entries ≈ 100 MB in the compact
+    #: _DriverLexicon layout — bounded on the 8g driver. Above the cap,
+    #: query paths fall back to the distributed lexicon lookup — nothing
+    #: breaks, one extra Spark job per query.
+    LEX_DRIVER_CACHE_MAX = 1_000_000
+
+    def check_fresh(self) -> None:
+        """Raise StaleIndexError if the on-disk index moved past this
+        handle's epoch. A driver-side file read — no Spark job — called
+        by every query path, so stale pinned caches / frozen corpus
+        stats can never silently mis-score after a streaming merge."""
+        cur = read_index_epoch(self.root)
+        if cur is not None and cur != self.epoch:
+            raise StaleIndexError(
+                f"index at {self.root} is at epoch {cur}, this handle "
+                f"was loaded at epoch {self.epoch} — a merge or rebuild "
+                "happened; reload with Index.load / Index.refresh"
+            )
+
+    def refresh(self, spark: SparkSession) -> "Index":
+        """Release this handle's pinned caches and return a fresh handle
+        at the current epoch, re-warmed to the same level (the post-merge
+        serving handoff: old handle poisoned, new one takes over)."""
+        re_post = self._postings_cached is not None
+        re_warm = re_post or self._lexicon_cached is not None
+        for df in (self._lexicon_cached, self._postings_cached):
+            if df is not None:
+                df.unpersist()
+        self._lexicon_cached = None
+        self._postings_cached = None
+        self._lexicon_map = None
+        idx = Index.load(spark, self.root)
+        if re_warm:
+            idx.warm(spark, postings=re_post)
+        return idx
 
     def postings(self, spark: SparkSession) -> DataFrame:
         if self._postings_cached is not None:
@@ -358,10 +449,10 @@ class Index:
         n_terms = lex.count()
         self._lexicon_cached = lex
         if n_terms <= self.LEX_DRIVER_CACHE_MAX:
-            self._lexicon_map = {
-                r["term"]: (float(r["idf"]), int(r["term_bucket"]))
-                for r in lex.select("term", "idf", "term_bucket").collect()
-            }
+            pdf = lex.select("term", "idf", "term_bucket").toPandas()
+            self._lexicon_map = _DriverLexicon(
+                pdf["term"].tolist(), pdf["idf"], pdf["term_bucket"]
+            )
         if postings:
             post = read_table(spark, self.root, "postings").cache()
             post.count()

@@ -209,6 +209,7 @@ def bm25_query_topk_local(
     serving layer would cache the hot blocks driver-side; here the cap
     keeps the fallback honest.
     """
+    index.check_fresh()
     qrows = _query_term_rows(queries, min_token_len, remove_numeric)
     cols = ["query_id", "rank", "doc_id", "score"]
     empty = pd.DataFrame({c: [] for c in cols})
@@ -290,6 +291,7 @@ def bm25_query_topk(
     At the 100 TB tier P ≈ number of executor cores is the right setting
     for fat analytical queries; interactive point queries keep P = 1.
     """
+    index.check_fresh()
     qrows = _query_term_rows(queries, min_token_len, remove_numeric)
     terms = sorted({t for _, t, _ in qrows})
     if not terms:

@@ -60,3 +60,42 @@ def write_table(
         writer.format("iceberg").saveAsTable(_ident(root, name))
     else:
         writer.parquet(_ident(root, name))
+
+
+# --- index epoch -----------------------------------------------------------
+#
+# A monotonically increasing counter bumped by every write that changes
+# query-visible index state (fresh build, incremental merge, compaction
+# keeps it — see callers). Readers holding pinned caches compare their
+# load-time epoch against the current one before serving (a driver-side
+# file stat, no Spark job), so a handle warmed before a merge fails loudly
+# instead of silently scoring with stale idf/avgdl/postings. With an
+# Iceberg catalog the equivalent signal is the stats table's snapshot id
+# (metadata-only check); the sidecar file is the parquet-directory
+# fallback used in this sandbox.
+
+_EPOCH_FILE = "_index_epoch"
+
+
+def read_index_epoch(root: str) -> int | None:
+    if _catalog():
+        return None  # catalog mode: snapshot ids supersede the sidecar
+    path = os.path.join(root, _EPOCH_FILE)
+    try:
+        with open(path) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def bump_index_epoch(root: str) -> int:
+    """Increment and persist the epoch; returns the new value."""
+    if _catalog():
+        return 0
+    epoch = (read_index_epoch(root) or 0) + 1
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _EPOCH_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(epoch))
+    os.replace(tmp, os.path.join(root, _EPOCH_FILE))
+    return epoch

@@ -48,7 +48,11 @@ from pyspark.sql import functions as F
 from sparkrec.operators.bm25 import term_freqs, tokenize_docs
 from sparkrec.operators.docs import assemble_docs, assign_doc_ids
 from sparkrec.operators.indexer import IndexConfig, encode_postings
-from sparkrec.sources.tables import read_table, write_table
+from sparkrec.sources.tables import (
+    bump_index_epoch,
+    read_table,
+    write_table,
+)
 
 
 def merge_index_delta(
@@ -198,11 +202,16 @@ def _merge_locked(
         index_root,
         "stats",
     )
+    # poison every handle loaded before this merge: their pinned lexicon
+    # map / cached postings / frozen (n_docs, avgdl) no longer describe
+    # the index — Index.check_fresh raises on the next query
+    epoch = bump_index_epoch(index_root)
     return {
         "docs_added": n_new,
         "turns_tokens_added": total_new,
         "n_docs": n_docs,
         "n_terms": n_terms,
+        "index_epoch": epoch,
     }
 
 

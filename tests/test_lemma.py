@@ -79,3 +79,15 @@ def test_base_form_chain():
     assert base_form_mode("en", lemma_available=True) == ("lemma", "en")
     assert base_form_mode("en") == ("stem", "english")
     assert base_form_mode("zz")[0] == "none"
+
+
+def test_corpus_bound_words_keep_surface_form():
+    """The round-4 divergence-bound words (tools/lemma_coverage.py —
+    the testdata tokens Snowball over-stems): spaCy keeps all five
+    surface forms, and so must the rule lemmatizer. A future rule-family
+    change that starts mangling them fails here, not in an opaque
+    contract-hash mismatch."""
+    from sparkrec.functions.lemma import lemma_en
+
+    for w in ("merge", "value", "table", "customer", "query"):
+        assert lemma_en(w) == w, w

