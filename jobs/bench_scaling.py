@@ -100,6 +100,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2,
     from sparkrec.datagen import gen_queries, transcripts_df
     from sparkrec.operators.indexer import Index, IndexConfig, build_index
     from sparkrec.operators.scorer import bm25_query_topk
+    from sparkrec.plans.manifest import MetricsLog
     from sparkrec.session import get_spark
 
     spark = get_spark(
@@ -111,12 +112,21 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2,
     t = transcripts_df(spark, n_convs).cache()
     n_turns = t.count()
 
-    build_sec = float("inf")
+    build_sec, stage_sec = float("inf"), {}
     for _ in range(trials):
         shutil.rmtree(root, ignore_errors=True)
+        metrics = MetricsLog(root)
         t0 = time.monotonic()
-        build_index(spark, t, root, IndexConfig(), overwrite=True)
-        build_sec = min(build_sec, time.monotonic() - t0)
+        build_index(spark, t, root, IndexConfig(), overwrite=True,
+                    metrics=metrics)
+        wall = time.monotonic() - t0
+        if wall < build_sec:
+            build_sec = wall
+            stage_sec = {
+                s["stage"]: s["wall_sec"]
+                for s in metrics.stages
+                if s["status"] == "completed"
+            }
 
     t.unpersist(blocking=True)  # input cache is dead weight for queries
     idx = Index.load(spark, root)
@@ -157,6 +167,7 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2,
         "n_convs": n_convs,
         "n_turns": n_turns,
         "build_sec": round(build_sec, 3),
+        "stage_sec": stage_sec,
         "build_turns_per_sec": round(n_turns / build_sec, 1),
         "query_sec": round(query_sec, 3),
         "n_queries": len(qset),
@@ -300,6 +311,19 @@ def main(argv=None) -> dict | None:
     eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
     identical = lo["result_digest"] == hi["result_digest"]
 
+    # per-stage scaling table: pins WHICH build stage sub-scales
+    # (VERDICT r3 next-round #3). Stage walls come from the fastest
+    # accepted trial per level, so they are mutually consistent.
+    stage_rows = []
+    for st in ("docs", "stats", "lexicon", "postings"):
+        a, b = lo["stage_sec"].get(st), hi["stage_sec"].get(st)
+        if a and b:
+            eff_st = (a / b) / ratio
+            stage_rows.append(
+                f"| {st} | {a} | {b} | {eff_st:.3f} |"
+            )
+    stage_md = "\n".join(stage_rows)
+
     summary = {
         "metric": "scaling efficiency local[%d] -> local[%d]" % (args.low, args.high),
         "n_convs": args.n_convs,
@@ -330,6 +354,12 @@ levels). Single-configuration per-round numbers live in `BENCH_r*.json`
 | steal during accepted trials (mean / burst10 / peak vCPU) | {lo['steal_mean_vcpu']} / {lo['steal_burst10_vcpu']} / {lo['steal_peak_vcpu']} | {hi['steal_mean_vcpu']} / {hi['steal_burst10_vcpu']} / {hi['steal_peak_vcpu']} | |
 
 Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
+
+### Per-stage build walls (fastest accepted trial per level)
+
+| stage | local[{args.low}] sec | local[{args.high}] sec | efficiency |
+|---|---|---|---|
+{stage_md}
 
 **Steal gating**: every trial window was sampled at 1 Hz from `/proc/stat`
 (field 8); trials with mean stolen vCPUs > {args.steal_mean_max} or a sustained 10 s
