@@ -736,6 +736,10 @@ def q_wikixml_roundtrip(spark, sf_dir):
 
 
 # --- rows-only entries (no ANSI-SQL twin) ----------------------------------
+# (lsh_cosine_topk and media_features below graduated to value-hash
+# oracles in round 4 — their docstrings carry the replay trick; the
+# remaining rows-only tail is the genuinely iterative-ML set:
+# doc2vec_topk, lda_doc_topics, lda_topic_evals.)
 
 
 def q_doc2vec_topk(spark, sf_dir):
@@ -833,6 +837,14 @@ def q_lsh_cosine_topk(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal decode plumbing (mapInPandas over binary payloads).
+    Hash-oracled (round-4 upgrade from rows-only): the fake decode
+    kernels compute byte-moment sums in int64 with exactly one float64
+    division before the float32 store (multimodal._decode_image_batch
+    exactness contract), so the DuckDB twin replays every stored float
+    bit-for-bit from the documents text (payload = UTF-8 bytes; the
+    testdata corpus is ASCII, so SQL char positions ARE byte offsets —
+    asserted in the twin via octet_length = length)."""
     from sparkrec.operators.multimodal import extract_features, synth_media_df
 
     media = synth_media_df(spark, _documents(spark, sf_dir))
@@ -1634,6 +1646,67 @@ SELECT query_id, rank, doc_id, score FROM (
                             ORDER BY score DESC, doc_id)::INTEGER AS rank
   FROM scored) WHERE rank <= 10"""
 
+    # --- multimodal decode twin --------------------------------------------
+    # Replays the fake decode kernels' byte-moment arithmetic exactly
+    # (multimodal._decode_image_batch exactness contract): integer sums,
+    # one float64 division, CAST to REAL = the float32 store; the final
+    # feat_sum is the same left-assoc j-ordered double fold as
+    # F.aggregate. The corpus is ASCII (probed per sf), so
+    # ascii(substring(text, i, 1)) IS byte i of the UTF-8 payload; a
+    # non-ASCII doc would shift n_bytes and every moment → loud hash
+    # mismatch, not silent agreement. NB: identifiers are
+    # case-insensitive in DuckDB — n_frames, not K, to dodge the
+    # unnest alias k.
+    media_feats = """WITH d AS (
+  SELECT doc_id, text, length(text) AS n,
+         octet_length(encode(text)) AS n_bytes FROM documents),
+bb AS (SELECT doc_id,
+              ascii(substring(text, CAST(unnest(generate_series(1, n))
+                                         AS INTEGER), 1))::BIGINT AS byte
+       FROM d),
+mom AS (SELECT doc_id, sum(byte) AS s1, sum(byte*byte) AS s2,
+               sum(byte*byte*byte) AS s3, sum(byte*byte*byte*byte) AS s4
+        FROM bb GROUP BY doc_id),
+imgf AS (
+  SELECT d.doc_id, j,
+    CASE WHEN d.n = 0 OR m.doc_id IS NULL THEN CAST(0.0 AS REAL)
+         ELSE CAST(j + (CASE j%4 WHEN 0 THEN m.s1 WHEN 1 THEN m.s2
+                                 WHEN 2 THEN m.s3 ELSE m.s4 END)::DOUBLE
+                 / (d.n * (CASE j%4 WHEN 0 THEN 255 WHEN 1 THEN 65025
+                           WHEN 2 THEN 16581375 ELSE 4228250625 END))::DOUBLE
+               AS REAL) END AS f
+  FROM d LEFT JOIN mom m ON m.doc_id = d.doc_id,
+       unnest(generate_series(0, 15)) AS t(j)),
+vidx AS (
+  SELECT d.doc_id, d.text, k, j,
+         least(64, d.n - 64*k) AS chunk_len,
+         (d.n + 63) // 64 AS n_frames
+  FROM d, unnest(generate_series(0, greatest(0, (d.n + 63) // 64 - 1)))
+            AS tk(k),
+       unnest(generate_series(0, 15)) AS tj(j)
+  WHERE d.n > 0),
+vidf AS (
+  SELECT doc_id, j,
+    CAST(sum(ascii(substring(text,
+             CAST(64*k + (j % chunk_len) + 1 AS INTEGER), 1))::BIGINT)::DOUBLE
+         / (255 * any_value(n_frames))::DOUBLE AS REAL) AS f
+  FROM vidx GROUP BY doc_id, j),
+feats AS (
+  SELECT d.doc_id, d.n_bytes, i.j,
+    CASE d.doc_id % 3
+      WHEN 0 THEN i.f
+      WHEN 1 THEN CAST(i.f * 0.5 AS REAL)
+      ELSE coalesce(v.f, CAST(0.0 AS REAL)) END AS f
+  FROM d
+  JOIN imgf i ON i.doc_id = d.doc_id
+  LEFT JOIN vidf v ON v.doc_id = d.doc_id AND v.j = i.j)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       any_value(n_bytes)::INTEGER AS n_bytes,
+       round(sum(f::DOUBLE ORDER BY j), 4) AS feat_sum
+FROM feats GROUP BY doc_id"""
+
     return {
         "doc_tf": f"WITH {_TF_CTES} SELECT doc_id, term, tf FROM tf",
         "doc_df": f"WITH {_TF_CTES} SELECT term, count(*) AS df FROM tf GROUP BY term",
@@ -1676,4 +1749,5 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "stemmed": stemmed_sql,
         "clean_pipeline_en": clean_pipeline_en,
         "transcripts_wand": transcripts_wand_sql,
+        "media_features": media_feats,
     }

@@ -65,13 +65,28 @@ def synth_media_df(spark, docs: DataFrame, id_col: str = "doc_id",
 
 def _decode_image_batch(payloads: pd.Series) -> np.ndarray:
     """STUB — real impl: PIL.Image.open per payload, resize, to-array.
-    Deterministic fake: feature j = byte-histogram moment j of payload."""
+    Deterministic fake: feature j = byte-histogram moment of power
+    ``1 + j%4`` of the payload, offset by j.
+
+    Exactness contract: the moment sums run in int64 and there is exactly
+    ONE float operation per feature (a float64 division, then the float32
+    store). Any engine that can sum integers — the DuckDB twin in
+    ``__spark_entry__.oracle_sql()['media_features']`` — reproduces the
+    stored float32 bit-for-bit, which is what upgraded this entry from
+    rows-only to value-hash. int64 headroom: byte^4 ≤ 255^4 ≈ 4.2e9, so
+    payloads up to ~2e9 bytes fit before Σb^4 overflows."""
     out = np.zeros((len(payloads), _FAKE_DIM), dtype=np.float32)
+    js = np.arange(_FAKE_DIM, dtype=np.float64)
     for i, buf in enumerate(payloads):
-        arr = np.frombuffer(bytes(buf), dtype=np.uint8)
-        if len(arr):
-            for j in range(_FAKE_DIM):
-                out[i, j] = float(np.mean((arr.astype(np.float64) / 255.0) ** (1 + j % 4)) + j)
+        arr = np.frombuffer(bytes(buf), dtype=np.uint8).astype(np.int64)
+        n = len(arr)
+        if n:
+            s = np.array([int(np.sum(arr ** p)) for p in (1, 2, 3, 4)],
+                         dtype=np.int64)
+            den = np.array([n * 255 ** p for p in (1, 2, 3, 4)],
+                           dtype=np.int64)
+            vals = s.astype(np.float64) / den.astype(np.float64)
+            out[i] = (js + vals[np.arange(_FAKE_DIM) % 4]).astype(np.float32)
     return out
 
 
@@ -104,12 +119,29 @@ def extract_features(media: DataFrame) -> DataFrame:
                 if mask.any():
                     feats[mask] = decoder(pdf["payload"][mask])
             vmask = (pdf["kind"] == "video").to_numpy()
-            if vmask.any():  # video feature = mean over sampled frames
+            if vmask.any():
+                # video feature = mean over sampled frames, computed in
+                # the int64 domain (sum the cycled bytes, divide ONCE):
+                # frame k's feature j is chunk_k[j % len(chunk_k)]/255
+                # (np.resize cycling, _decode_video_frames), so the mean
+                # is Σ_k chunk_k[j % L_k] / (255·K) — a single float64
+                # division per feature, SQL-replayable like the
+                # image/audio moments
                 for i in np.flatnonzero(vmask):
-                    frames = _decode_video_frames(pdf["payload"].iloc[i], 1)
+                    buf = np.frombuffer(
+                        bytes(pdf["payload"].iloc[i]), dtype=np.uint8
+                    ).astype(np.int64)
+                    n = len(buf)
+                    if n == 0:
+                        continue
+                    offs = np.arange(0, n, 64)
+                    chunk_len = np.minimum(64, n - offs)
+                    j = np.arange(_FAKE_DIM)
+                    idx = offs[:, None] + (j[None, :] % chunk_len[:, None])
+                    m = buf[idx].sum(axis=0)
                     feats[i] = (
-                        np.mean(frames, axis=0) if frames else np.zeros(_FAKE_DIM)
-                    )
+                        m.astype(np.float64) / float(255 * len(offs))
+                    ).astype(np.float32)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

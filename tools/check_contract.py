@@ -46,6 +46,9 @@ def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     p.add_argument("--master", default="local[8]")
+    p.add_argument("--only", nargs="*", default=None,
+                   help="check just these queries() keys (iterating on "
+                        "one oracle without paying the full 43-query gate)")
     args = p.parse_args()
 
     import duckdb
@@ -61,6 +64,11 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    if args.only:
+        unknown = set(args.only) - set(qs)
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in args.only}
     failures = 0
     for name, fn in qs.items():
         rec: dict = {"query": name}
