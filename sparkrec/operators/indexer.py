@@ -83,7 +83,10 @@ class IndexConfig:
     # measured at 2M turns, 64k-posting groups make the encode stage
     # straggler-bound (hot-term groups pin whole tasks; 8-core encode wall
     # 71 s) while 16k groups smooth the distribution (50 s at 8 cores,
-    # fastest measured at 2 cores too). Block CONTENTS and query results
+    # fastest measured at 2 cores too). Re-confirmed at 32 cores by the
+    # round-4 steal-gated A/B (jobs/ab_shards.py; BENCH.md "Round-4
+    # docs_per_shard A/B"): 16k won the clean-trial build wall 12.9 s vs
+    # 17.8 s. Block CONTENTS and query results
     # are identical for any value here (blocks are cut at block_range
     # boundaries inside any grouping) — but the stored `shard` column
     # values and shard counts DO change with it, so treat a retune as a
