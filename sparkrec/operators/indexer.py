@@ -41,12 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sparkrec import BM25_B, BM25_K1
-from sparkrec.operators.bm25 import (
-    corpus_stats,
-    doc_freqs,
-    term_freqs,
-    tokenize_docs,
-)
+from sparkrec.operators.bm25 import term_freqs, tokenize_docs
 from sparkrec.operators.codec import encode_postings_many
 from sparkrec.operators.docs import assemble_docs, assign_doc_ids
 from sparkrec.sources.tables import (
@@ -79,7 +74,10 @@ class IndexConfig:
     min_token_len: int = 2
     remove_numeric: bool = True
     block_range: int = 4096        # doc ids per block (aligned across terms)
-    # max postings per assembly group. Sized for task balance, not memory:
+    # max postings per assembly group — a HARD cap by construction: the
+    # shard is the doc-id block group, which spans at most
+    # docs_per_shard // block_range blocks (encode_postings docstring).
+    # Sized for task balance, not memory:
     # measured at 2M turns, 64k-posting groups make the encode stage
     # straggler-bound (hot-term groups pin whole tasks; 8-core encode wall
     # 71 s) while 16k groups smooth the distribution (50 s at 8 cores,
@@ -96,25 +94,32 @@ class IndexConfig:
 
 
 def encode_postings(
-    tf_with_df: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
+    tf: DataFrame, n_docs: int, avgdl: float, cfg: IndexConfig
 ) -> DataFrame:
-    """(doc_id, term, tf, doc_len, df) → encoded block rows.
+    """(doc_id, term, tf, doc_len) → encoded block rows.
 
     One shuffle: groupBy (term, shard) with in-agg sort; then a
     mapInPandas encode pass that is numpy-vectorized across every block
     in the Arrow batch.
+
+    The shard is the doc-id block GROUP (``doc_id // block_range //
+    blocks_per_group``) — a pure function of doc_id, needing no term
+    statistics. Per-group state is hard-capped at ``docs_per_shard``
+    postings by construction (a group spans at most ``blocks_per_group``
+    blocks of ``block_range`` doc ids), so the Zipf head cannot pin a
+    task no matter how hot the term; and because the value is
+    df-independent, a streaming merge (ingest.py) assigns appended
+    blocks the exact shard a from-scratch rebuild would. Cutting the
+    old df-aware salting removed the build's second corpus-sized pass:
+    df is now aggregated from the block rows AFTER assembly
+    (build_index_from_docs), not joined in before it.
     """
     blocks_per_group = max(1, cfg.docs_per_shard // cfg.block_range)
-    n_salts = F.greatest(
-        F.lit(1), F.ceil(F.col("df") / F.lit(cfg.docs_per_shard))
-    )
     g = (F.col("doc_id") / F.lit(cfg.block_range)).cast("long")
-    shard = F.pmod(
-        (g / F.lit(blocks_per_group)).cast("long"), n_salts
-    ).cast("int")
+    shard = (g / F.lit(blocks_per_group)).cast("long").cast("int")
 
     grouped = (
-        tf_with_df.withColumn("shard", shard)
+        tf.withColumn("shard", shard)
         .groupBy("term", "shard")
         .agg(
             F.array_sort(
@@ -291,42 +296,48 @@ def build_index_from_docs(
     stats = read_table(spark, index_root, "stats").collect()[0]
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
-    # TF feeds BOTH the lexicon aggregation and the posting assembly —
-    # persist it across the two stages so the explode + shuffle runs once
-    # (MEMORY_AND_DISK: spills instead of OOM when the term table exceeds
-    # executor memory; at the 100 TB tier this is where you would write
-    # an intermediate tf table instead)
-    from pyspark import StorageLevel
-
-    tf = term_freqs(docs).persist(StorageLevel.MEMORY_AND_DISK)
-
-    with Stage("lexicon", index_root, overwrite, metrics) as st:
-        ran_any |= st.needed
-        if st.needed:
-            lex = doc_freqs(tf).withColumn(
-                "idf",
-                F.log(
-                    (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                    + F.lit(1.0)
-                ),
-            ).withColumn(
-                "term_bucket",
-                F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
-            )
-            write_table(lex, index_root, "lexicon")
+    # One corpus-sized pass total: TF flows straight into posting
+    # assembly (the shard is a pure function of doc_id — see
+    # encode_postings), and the lexicon's df is then aggregated from the
+    # written block rows (sum of per-block counts == document frequency,
+    # since each (doc, term) posting lands in exactly one block). The
+    # old layout ran doc_freqs over TF, wrote the lexicon, and joined it
+    # back into TF — two corpus-sized shuffles plus a join and a TF
+    # persist; the per-stage scaling run (BENCH_SCALING.md) showed that
+    # combined pass pair was the bulk of the build wall.
 
     with Stage("postings", index_root, overwrite, metrics) as st:
         ran_any |= st.needed
         if st.needed:
-            lex = read_table(spark, index_root, "lexicon").select("term", "df")
-            tf_with_df = tf.join(lex, "term")
-            enc = encode_postings(tf_with_df, n_docs, avgdl, cfg).withColumn(
+            enc = encode_postings(term_freqs(docs), n_docs, avgdl, cfg).withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )
             write_table(enc, index_root, "postings", partition_by=["term_bucket"])
-    tf.unpersist(blocking=True)
+
+    with Stage("lexicon", index_root, overwrite, metrics) as st:
+        ran_any |= st.needed
+        if st.needed:
+            blocks = read_table(spark, index_root, "postings")
+            lex = (
+                blocks.groupBy("term")
+                .agg(F.sum("n").cast("long").alias("df"))
+                .withColumn(
+                    "idf",
+                    F.log(
+                        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+                        / (F.col("df") + F.lit(0.5))
+                        + F.lit(1.0)
+                    ),
+                )
+                .withColumn(
+                    "term_bucket",
+                    F.pmod(
+                        F.xxhash64("term"), F.lit(cfg.n_term_buckets)
+                    ).cast("int"),
+                )
+            )
+            write_table(lex, index_root, "lexicon")
 
     if ran_any:
         # any (re)written stage changed query-visible state: move the

@@ -180,10 +180,11 @@ def _merge_locked(
     write_table(new_docs.select(*read_table(spark, index_root, "docs").columns),
                 index_root, "docs", mode="append")
 
-    # postings append: encode ONLY the new docs' blocks. Shard salting uses
-    # the term's merged df (its true hotness), keeping group state bounded.
-    tf_with_df = tf.join(merged.select("term", "df"), "term")
-    enc = encode_postings(tf_with_df, n_docs, avgdl, cfg).withColumn(
+    # postings append: encode ONLY the new docs' blocks. The shard is a
+    # pure function of doc_id (encode_postings), so appended blocks get
+    # the exact shard a from-scratch rebuild would assign — no df join,
+    # and group state stays hard-capped at docs_per_shard postings.
+    enc = encode_postings(tf, n_docs, avgdl, cfg).withColumn(
         "term_bucket",
         F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
     )
