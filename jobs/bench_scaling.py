@@ -384,9 +384,10 @@ parallelism levels").
 ## Why this is evidence for the 1000-executor case
 
 - Every build stage is shuffle-parallel with bounded per-task state:
-  posting assembly groups are capped at `docs_per_shard` postings by the
-  df-aware salting rule, so the Zipf head spreads over
-  `df/docs_per_shard` tasks instead of one hot task (operators/indexer.py).
+  posting assembly groups are hard-capped at `docs_per_shard` postings by
+  construction (the shard is the doc-id block group), so the Zipf head
+  spreads over `df/docs_per_shard` tasks instead of one hot task and the
+  build needs no df join before assembly (operators/indexer.py).
 - The only driver-side work is O(#buckets) offset computation and
   O(#stages) table commits — independent of corpus size.
 - Queries prune by `term_bucket` partition + term predicate at the scan
