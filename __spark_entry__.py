@@ -743,14 +743,42 @@ def q_wikixml_roundtrip(spark, sf_dir):
 
 
 def q_doc2vec_topk(spark, sf_dir):
-    """A7 doc2vec: distributed Word2Vec doc embeddings → brute cosine
-    top-k for one query doc (rows-only: distributed skip-gram training
-    is not SQL-expressible; invariants in tests/test_embeddings.py)."""
-    from sparkrec.operators.embeddings import doc2vec_embeddings
+    """A7 doc2vec: PV-DBOW per-doc TRAINED vectors (word matrix from the
+    distributed Word2Vec fit, then seeded per-doc negative-sampling SGD
+    — reference model.py:131-155 semantics) → brute cosine top-k for one
+    query doc (rows-only: iterative SGD training is not SQL-expressible;
+    kernel-vs-twin bit-exactness and partition-independence are pytest
+    invariants in tests/test_embeddings.py)."""
+    from sparkrec.operators.embeddings import pv_dbow_embeddings
     from sparkrec.operators.simsearch import cosine_topk
 
-    emb = doc2vec_embeddings(
-        _doc_tokens(spark, sf_dir), vector_size=16, seed=42
+    emb = pv_dbow_embeddings(
+        _doc_tokens(spark, sf_dir), vector_size=16, seed=42, epochs=10
+    ).cache()
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("doc_id") == TFIDF_QUERY_DOC)
+        .collect()[0]["embedding"]
+    ]
+    return cosine_topk(
+        emb.filter(F.col("doc_id") != TFIDF_QUERY_DOC), qv, TOP_K,
+        id_col="doc_id",
+    )
+
+
+def q_wikilinknn_topk(spark, sf_dir):
+    """A7/J5 wikilinknn: ALS implicit-feedback article embeddings from
+    wikilink pairs (the Spark-first restatement of the reference's Keras
+    dot-product fit, model.py:386-560) → cosine top-k for one article
+    (rows-only: iterative alternating least squares is not
+    SQL-expressible; structure/determinism invariants in
+    tests/test_wikilink_nn.py)."""
+    from sparkrec.operators.simsearch import cosine_topk
+    from sparkrec.operators.wikilink_nn import wikilinknn_embeddings
+
+    emb = wikilinknn_embeddings(
+        _linked_docs(spark, sf_dir), embedding_size=16,
+        min_count=WL_MIN_COUNT, seed=42, max_iter=5,
     ).cache()
     qv = [
         float(x)
@@ -937,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL-expressible oracle: iterative ML fits,
         # float32 decode fakes):
         "doc2vec_topk": q_doc2vec_topk,
+        "wikilinknn_topk": q_wikilinknn_topk,
         "lda_doc_topics": q_lda_doc_topics,
         "lda_topic_evals": q_lda_topic_evals,
         "media_features": q_media_features,

@@ -11,15 +11,21 @@ Reference methods → Spark-first restatements:
   L2-normalized docs is a plain term-join dot product
   (``tfidf_cosine_topk`` — the gen_sim_matrix(method='tfidf') +
   recommend path as ONE query, no N×N materialization).
-- ``doc2vec`` (model.py:131-155, gensim Doc2Vec): distributed skip-gram
-  via ``pyspark.ml.feature.Word2Vec`` (JVM, seeded); a document vector
-  is the mean of its word vectors (``Word2VecModel.transform``
-  semantics). Gensim's PV-DBOW trains per-doc vectors directly — the
-  averaged-word-vector form is the established distributed
-  approximation (documented divergence; downstream cosine/recommend
-  consumers are identical).
+- ``doc2vec`` (model.py:131-155, gensim Doc2Vec): per-doc TRAINED
+  vectors via ``pv_dbow_embeddings`` — distributed skip-gram word
+  matrix from ``pyspark.ml.feature.Word2Vec`` (JVM, seeded), then each
+  doc vector trained against it with the PV-DBOW negative-sampling
+  objective (gensim ``infer_vector`` formulation; bit-deterministic per
+  (seed, doc_id, tokens), so rank-identical across partitioning).
+  ``doc2vec_embeddings`` keeps the cheap mean-pooled form
+  (``Word2VecModel.transform`` semantics) for callers that want the
+  one-pass approximation.
 - ``lda`` (model.py:155-164): doc-topic distributions — delegated to
   ``operators.topics.fit_lda`` (pyspark.ml online variational Bayes).
+- ``wikilinknn`` (model.py:172-192, Keras dot-product embedding over
+  wikilink pairs): delegated to ``wikilink_nn.wikilinknn_embeddings`` —
+  ALS implicit-feedback factorization of the same article×link
+  incidence, L2-normalized rows like the reference's returned weights.
 - ``bert`` (model.py:126-129, sentence_transformers): import-gated; the
   container has no model weights. The SPARK side — Arrow-batched
   ``mapInPandas`` with a worker-cached encoder — is real; the encoder
@@ -37,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-VALID_METHODS = ["bert", "doc2vec", "lda", "tfidf"]
+VALID_METHODS = ["bert", "doc2vec", "lda", "tfidf", "wikilinknn"]
 
 
 # ---------------------------------------------------------------------------
@@ -138,6 +144,152 @@ def doc2vec_embeddings(
 
 
 # ---------------------------------------------------------------------------
+# doc2vec (PV-DBOW per-doc trained vectors — the reference's semantics)
+# ---------------------------------------------------------------------------
+
+def pv_dbow_embeddings(
+    tokenized: DataFrame,
+    vector_size: int = 100,
+    min_count: int = 1,
+    seed: int = 42,
+    window_size: int = 5,
+    w2v_max_iter: int = 1,
+    epochs: int = 20,
+    negative: int = 5,
+    alpha: float = 0.025,
+    min_alpha: float = 1e-4,
+    word_vectors: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, embedding: array<double>) — per-doc TRAINED vectors via
+    the PV-DBOW objective (Le & Mikolov 2014), the reference's gensim
+    ``Doc2Vec`` semantics (model.py:131-155) rather than mean-pooling.
+
+    Spark-first decomposition of a sequential SGD model:
+
+    1. The WORD matrix comes from the distributed ``pyspark.ml`` Word2Vec
+       fit (JVM skip-gram; the V×d matrix is already driver-bounded by
+       that fit, so collecting it adds no new memory bound).
+    2. Each DOC vector is then trained independently against the frozen
+       word matrix — gensim's ``infer_vector`` formulation: maximize
+       Σ_w log σ(d·v_w) + Σ_neg log σ(−d·v_n) with negatives drawn from
+       the unigram^0.75 noise distribution, full-batch gradient steps
+       with gensim's linear alpha decay. Per-doc training is
+       embarrassingly parallel (one Arrow batch trains many docs) and
+       every vector depends only on (seed, doc_id, tokens) and the word
+       matrix — GIVEN a word matrix, results are bit-identical across
+       partitioning and cluster size (tested), unlike a hogwild port.
+       The internal Word2Vec fit itself inherits pyspark.ml's
+       partition-dependence; pass ``word_vectors`` (a
+       ``Word2VecModel.getVectors()``-shaped (word, vector) DataFrame)
+       to train against an existing fit.
+
+    Divergences, documented: gensim's default mode is PV-DM (word order
+    enters through context windows) and it co-trains a separate output
+    matrix; here the PV-DBOW (orderless) objective is trained against
+    the shared word matrix. Doc vectors are genuinely *trained to
+    predict their words* — the property mean-pooling lacks.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.sql import types as T
+
+    spark = tokenized.sparkSession
+
+    if word_vectors is None:
+        w2v = Word2Vec(
+            vectorSize=vector_size, minCount=min_count, seed=seed,
+            maxIter=w2v_max_iter, windowSize=window_size,
+            inputCol="tokens", outputCol="_vec",
+        )
+        model = w2v.fit(tokenized.select("doc_id", "tokens"))
+        word_vectors = model.getVectors()
+    wv_rows = sorted(
+        (
+            (r["word"], list(r["vector"].toArray()))
+            for r in word_vectors.collect()
+        ),
+        key=lambda x: x[0],
+    )
+    if wv_rows and len(wv_rows[0][1]) != vector_size:
+        raise ValueError(
+            "word_vectors dimension "
+            f"{len(wv_rows[0][1])} != vector_size {vector_size}"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    if not wv_rows:
+        return spark.createDataFrame([], out_schema)
+
+    vocab = {w: i for i, (w, _) in enumerate(wv_rows)}
+    mat = np.array([v for _, v in wv_rows], dtype=np.float64)
+
+    # unigram^0.75 noise distribution over the kept vocab, vocab order
+    counts_rows = (
+        tokenized.select(F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    counts = np.zeros(len(vocab), dtype=np.float64)
+    for r in counts_rows:
+        i = vocab.get(r["term"])
+        if i is not None:
+            counts[i] = r["cnt"]
+    noise = counts ** 0.75
+    cum = np.cumsum(noise / noise.sum())
+
+    sc = spark.sparkContext
+    b = sc.broadcast((vocab, mat, cum))
+
+    d_size, n_epochs, k_neg = vector_size, epochs, negative
+    a0, a1, rseed = alpha, min_alpha, seed
+
+    def train(batches):
+        vocab_b, mat_b, cum_b = b.value
+
+        def sigmoid(x):
+            return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))
+
+        for pdf in batches:
+            ids, vecs = [], []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+                rng = np.random.default_rng([rseed, int(doc_id)])
+                d = (rng.random(d_size) - 0.5) / d_size
+                idxs = [vocab_b[t] for t in toks if t in vocab_b]
+                if idxs:
+                    iarr = np.asarray(idxs)
+                    Wp = mat_b[iarr]
+                    n_pos = len(idxs)
+                    for e in range(n_epochs):
+                        lr = a0 + (a1 - a0) * (
+                            e / max(1, n_epochs - 1)
+                        )
+                        negs = np.searchsorted(
+                            cum_b, rng.random((n_pos, k_neg))
+                        )
+                        # word2vec.c semantics: a draw equal to the
+                        # position's own target word is skipped
+                        keep = (negs != iarr[:, None]).ravel()
+                        Wn = mat_b[negs.ravel()]
+                        g_pos = (1.0 - sigmoid(Wp @ d)) @ Wp
+                        g_neg = (sigmoid(Wn @ d) * keep) @ Wn
+                        d = d + lr * (g_pos - g_neg)
+                ids.append(int(doc_id))
+                vecs.append([float(x) for x in d])
+            yield pd.DataFrame({"doc_id": ids, "embedding": vecs})
+
+    return tokenized.select("doc_id", "tokens").mapInPandas(
+        train, schema=out_schema
+    )
+
+
+# ---------------------------------------------------------------------------
 # bert (gated: no sentence_transformers/weights in this container)
 # ---------------------------------------------------------------------------
 
@@ -199,10 +351,14 @@ def gen_embeddings(
     if method == "tfidf":
         return tfidf_vectors(tokenized_or_docs)
     if method == "doc2vec":
-        return doc2vec_embeddings(tokenized_or_docs, **kwargs)
+        return pv_dbow_embeddings(tokenized_or_docs, **kwargs)
     if method == "lda":
         from sparkrec.operators.topics import fit_lda
 
         model, doc_topics = fit_lda(tokenized_or_docs, **kwargs)
         return doc_topics
+    if method == "wikilinknn":
+        from sparkrec.operators.wikilink_nn import wikilinknn_embeddings
+
+        return wikilinknn_embeddings(tokenized_or_docs, **kwargs)
     return bert_embeddings(tokenized_or_docs, **kwargs)

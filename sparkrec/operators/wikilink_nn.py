@@ -1,9 +1,11 @@
 """WikilinkNN training-data generation (SURVEY.md §2.4 J5).
 
 The reference's ``_wikilink_nn`` (model.py:386-560) trains a Keras
-dot-product embedding over (article, link) pairs. The NETWORK is a
-single-node Keras fit and stays out of scope (SURVEY §7); what a data
-engine owes that pipeline is the part that touches the corpus:
+dot-product embedding over (article, link) pairs. The single-node Keras
+fit itself is replaced Spark-first by ``wikilinknn_embeddings`` (ALS
+implicit-feedback factorization of the same article×link incidence —
+see its docstring for the optimizer divergence); the corpus-touching
+parts the data engine owes that pipeline:
 
 - positive pairs (model.py:424-462): per-article DISTINCT links →
   lowercase → boilerplate drop → keep links with corpus count ≥ 4
@@ -221,3 +223,77 @@ def training_pairs(
         neg.select("article", "link_idx", "label")
     )
     return out
+
+
+def wikilinknn_embeddings(
+    corpus: DataFrame,
+    embedding_size: int = 75,
+    min_count: int = 4,
+    seed: int = 42,
+    max_iter: int = 10,
+    reg: float = 0.01,
+    id_col: str = "doc_id",
+    links_col: str = "wikilinks",
+) -> DataFrame:
+    """(doc_id, embedding: array<double>) — article embeddings learned
+    from wikilink co-occurrence, the Spark-first restatement of the
+    reference's Keras dot-product network (``_wikilink_nn``,
+    model.py:386-560; ``embedding_size=75`` default at model.py:44).
+
+    The reference factorizes the implicit article×link incidence matrix
+    with an embedding-layer NN trained by SGD on sampled positives and
+    negatives. The canonical distributed solver for exactly that
+    objective is ALS with implicit feedback (Hu, Koren & Volinsky 2008;
+    ``pyspark.ml.recommendation.ALS``): positives weighted by their pair
+    multiplicity (the reference emits one pair per raw link occurrence),
+    every unobserved (article, link) cell acting as a weak negative —
+    subsuming the sampled-negative trick, which exists only because SGD
+    cannot afford the full cell set. Rows are L2-normalized like the
+    reference's returned weights (model.py:192), so downstream cosine
+    consumers (gen_sim_matrix → recommend) compose identically.
+
+    Divergences, documented: least-squares alternating updates instead
+    of Adam-on-MSE (different optimizer, same dot-product model);
+    articles with NO desired link are absent from the output (the
+    reference returns their untrained random init rows, which carry no
+    signal).
+    """
+    from pyspark.ml.recommendation import ALS
+
+    pairs = wikilink_pairs(
+        corpus, min_count=min_count, id_col=id_col, links_col=links_col
+    )
+    ratings = (
+        pairs.groupBy("article", "link_idx")
+        .agg(F.count(F.lit(1)).cast("float").alias("cnt"))
+        .select(
+            F.col("article").cast("int").alias("article"),
+            F.col("link_idx").cast("int").alias("link_idx"),
+            "cnt",
+        )
+    )
+    als = ALS(
+        rank=embedding_size,
+        maxIter=max_iter,
+        regParam=reg,
+        implicitPrefs=True,
+        seed=seed,
+        userCol="article",
+        itemCol="link_idx",
+        ratingCol="cnt",
+    )
+    model = als.fit(ratings)
+    # materialize the norm as a COLUMN before the transform lambda — an
+    # expression captured in a higher-order function re-evaluates per
+    # element (the tokenizer-expression pitfall, dedup.ngrams_expr)
+    vecs = model.userFactors.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("features").cast("array<double>").alias("_v"),
+    ).withColumn(
+        "_n",
+        F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x)),
+    )
+    return vecs.select(
+        "doc_id",
+        F.transform("_v", lambda x: x / F.col("_n")).alias("embedding"),
+    )

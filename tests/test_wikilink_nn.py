@@ -160,3 +160,50 @@ def test_negative_sampler_under_delivery_raises_or_retries(spark):
     ).collect()
     assert len(small) == 10
     assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+
+
+def test_wikilinknn_embeddings_structure_and_determinism(spark, corpus):
+    """ALS restatement of the reference's Keras embedding fit
+    (model.py:386-560): only articles with >=1 desired-link pair get a
+    row, rows are L2-normalized, the seeded fit is reproducible, and
+    articles with IDENTICAL interaction vectors (1 and 4: beta only)
+    solve to identical factors — cos ~= 1 — while a differently-linked
+    article (0: alpha-heavy) lands measurably elsewhere."""
+    import numpy as np
+
+    from sparkrec.operators.wikilink_nn import wikilinknn_embeddings
+
+    kw = dict(embedding_size=4, min_count=MIN_COUNT, seed=42, max_iter=10)
+    emb = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in wikilinknn_embeddings(corpus, **kw).collect()
+    }
+    # desired links at min_count=3 are alpha/beta -> articles 0..4 only
+    assert set(emb) == {0, 1, 2, 3, 4}
+    for v in emb.values():
+        assert len(v) == 4
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-9)
+
+    again = {
+        r["doc_id"]: np.array(r["embedding"])
+        for r in wikilinknn_embeddings(corpus, **kw).collect()
+    }
+    for doc_id in emb:
+        assert np.allclose(emb[doc_id], again[doc_id], atol=1e-12)
+
+    same = float(emb[1] @ emb[4])       # identical link vectors
+    diff = float(emb[1] @ emb[0])       # beta-only vs alpha-heavy
+    assert same == pytest.approx(1.0, abs=1e-6)
+    assert diff < same
+
+
+def test_wikilinknn_via_dispatcher(spark, corpus):
+    from sparkrec.operators.embeddings import VALID_METHODS, gen_embeddings
+
+    assert "wikilinknn" in VALID_METHODS  # reference model.py:117 surface
+    out = gen_embeddings(
+        corpus, method="wikilinknn",
+        embedding_size=3, min_count=MIN_COUNT, seed=1, max_iter=3,
+    )
+    assert out.columns == ["doc_id", "embedding"]
+    assert out.count() == 5
