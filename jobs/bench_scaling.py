@@ -311,6 +311,35 @@ def main(argv=None) -> dict | None:
     eff_query = (hi["queries_per_sec"] / lo["queries_per_sec"]) / ratio
     identical = lo["result_digest"] == hi["result_digest"]
 
+    # SAME-ROUND paired efficiencies: the interleaved rounds exist so
+    # each low/high pair shares one noise regime — cross-best pairing
+    # divides a golden-window numerator by a mediocre-window denominator
+    # (two gate-clean local[2] windows 40 min apart measured 1.68× apart
+    # on identical code; BENCH_SCALING.md round-4 analysis). The
+    # per-round ratios are the meaningful ones; the best same-round pair
+    # is the headline.
+    paired = []
+    for i, (lrec, hrec) in enumerate(
+        zip(per_level[args.low], per_level[args.high])
+    ):
+        paired.append(
+            {
+                "round": i,
+                "both_clean": bool(
+                    lrec["steal_clean"] and hrec["steal_clean"]
+                ),
+                "build_eff": round(
+                    (lrec["build_sec"] / hrec["build_sec"]) / ratio, 3
+                ),
+                "query_eff": round(
+                    (lrec["query_sec"] / hrec["query_sec"]) / ratio, 3
+                ),
+            }
+        )
+    clean_pairs = [p for p in paired if p["both_clean"]] or paired
+    best_pair_build = max(p["build_eff"] for p in clean_pairs)
+    best_pair_query = max(p["query_eff"] for p in clean_pairs)
+
     # per-stage scaling table: pins WHICH build stage sub-scales
     # (VERDICT r3 next-round #3). Stage walls come from the fastest
     # accepted trial per level, so they are mutually consistent.
@@ -332,6 +361,9 @@ def main(argv=None) -> dict | None:
         "high": hi,
         "build_scaling_efficiency": round(eff_build, 3),
         "query_scaling_efficiency": round(eff_query, 3),
+        "paired_rounds": paired,
+        "paired_build_efficiency": best_pair_build,
+        "paired_query_efficiency": best_pair_query,
         "results_rank_identical_across_parallelism": identical,
     }
 
@@ -354,6 +386,20 @@ levels). Single-configuration per-round numbers live in `BENCH_r*.json`
 | steal during accepted trials (mean / burst10 / peak vCPU) | {lo['steal_mean_vcpu']} / {lo['steal_burst10_vcpu']} / {lo['steal_peak_vcpu']} | {hi['steal_mean_vcpu']} / {hi['steal_burst10_vcpu']} / {hi['steal_peak_vcpu']} | |
 
 Efficiency = (throughput_high / throughput_low) / ({args.high}/{args.low}).
+
+### Same-round paired efficiencies (the meaningful ratios)
+
+The headline table pairs each level's best trial ACROSS rounds, which on
+this box divides incomparable noise windows (two gate-clean local[{args.low}]
+windows 40 min apart measured 1.68× apart on identical code). The
+interleaved rounds exist so each low/high pair shares one noise regime —
+per-round ratios:
+
+| round | both clean | build eff | query eff |
+|---|---|---|---|
+{chr(10).join(f"| {p['round']} | {p['both_clean']} | {p['build_eff']} | {p['query_eff']} |" for p in paired)}
+
+**Best same-round pair: build {best_pair_build}, query {best_pair_query}.**
 
 ### Per-stage build walls (fastest accepted trial per level)
 
