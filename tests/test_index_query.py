@@ -182,3 +182,38 @@ def test_resume_skips_completed_stages(spark, transcripts, index_root):
     assert {s["stage"] for s in new} == {"docs", "stats", "lexicon", "postings"}
     assert all(s["status"] == "skipped" for s in new)
     assert os.path.exists(os.path.join(index_root, "_manifest.json"))
+
+
+def test_partial_resume_rebuilds_lexicon_from_postings(
+    spark, transcripts, index_root, tmp_path_factory
+):
+    """The one-pass layout aggregates the lexicon FROM the postings
+    table; a partial state with postings present but lexicon missing
+    (crash between the two stage commits) must resume to an index whose
+    lexicon — and therefore every score — matches the unbroken build."""
+    import shutil
+
+    from sparkrec.operators.scorer import bm25_query_topk
+
+    root2 = str(tmp_path_factory.mktemp("resume2"))
+    build_index(spark, transcripts, root2, cfg=CFG)
+    shutil.rmtree(os.path.join(root2, "lexicon"))
+
+    metrics = MetricsLog(root2)
+    n_before = len(metrics.stages)
+    build_index(spark, transcripts, root2, cfg=CFG, metrics=metrics)
+    statuses = {s["stage"]: s["status"] for s in metrics.stages[n_before:]}
+    assert statuses["lexicon"] == "completed"       # rebuilt
+    assert statuses["postings"] == "skipped"        # untouched
+
+    queries = [("q", "term0001 term0007")]
+    a = bm25_query_topk(
+        spark, Index.load(spark, index_root), queries, k=5
+    ).collect()
+    b = bm25_query_topk(
+        spark, Index.load(spark, root2), queries, k=5
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert [
+        (r["doc_id"], r["score"]) for r in sorted(a, key=key)
+    ] == [(r["doc_id"], r["score"]) for r in sorted(b, key=key)]
