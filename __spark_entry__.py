@@ -962,12 +962,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "transcripts_wand": q_transcripts_wand,
         "lsh_cosine_topk": q_lsh_cosine_topk,
-        # rows-only (no SQL-expressible oracle: iterative ML fits,
-        # float32 decode fakes):
+        # rows-only (no SQL-expressible oracle: iterative ML fits):
         "doc2vec_topk": q_doc2vec_topk,
         "wikilinknn_topk": q_wikilinknn_topk,
         "lda_doc_topics": q_lda_doc_topics,
         "lda_topic_evals": q_lda_topic_evals,
+        # oracled since round 4 (integer-exact fake decode twin):
         "media_features": q_media_features,
     }
 
