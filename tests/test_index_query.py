@@ -217,3 +217,59 @@ def test_partial_resume_rebuilds_lexicon_from_postings(
     assert [
         (r["doc_id"], r["score"]) for r in sorted(a, key=key)
     ] == [(r["doc_id"], r["score"]) for r in sorted(b, key=key)]
+
+
+def test_giant_doc_skew_exact_scores(spark, tmp_path_factory):
+    """Zipf-head stress: one doc carries a single term 30k times (tf far
+    beyond any block's typical mass) among 300 normal docs. The build
+    must keep every assembly group within docs_per_shard postings and the
+    WAND scorer must produce scores identical to the BM25 formula
+    computed directly from the corpus statistics."""
+    import math
+
+    from sparkrec.operators.indexer import build_index_from_docs
+    from sparkrec.operators.scorer import bm25_query_topk
+
+    rows = [(0, ["hot"] * 30000 + ["rare"])]
+    for i in range(1, 301):
+        rows.append((i, ["hot", f"filler{i % 7}"] + [f"pad{i}"] * 18))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, tokens array<string>"
+    ).withColumn("doc_len", F.size("tokens"))
+
+    root = str(tmp_path_factory.mktemp("skewidx"))
+    build_index_from_docs(spark, docs, root, CFG)
+    idx = Index.load(spark, root)
+
+    # group-state bound held even for the 30001-token doc
+    per_group = (
+        idx.postings(spark)
+        .groupBy("term", "shard")
+        .agg(F.sum("n").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert per_group <= CFG.docs_per_shard
+
+    # exact scores from the formula (k1/b from CFG, Lucene idf)
+    n, k1, b = 301, CFG.k1, CFG.b
+    dls = {r[0]: len(r[1]) for r in rows}
+    avgdl = sum(dls.values()) / n
+
+    def bm25(tf, dl, df):
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_query_topk(spark, idx, [("q", "hot rare")], 5).collect()
+    }
+    # doc 0: hot tf=30000 (df=301) + rare tf=1 (df=1)
+    expect0 = bm25(30000, dls[0], 301) + bm25(1, dls[0], 1)
+    assert got[0] == pytest.approx(expect0, rel=1e-9)
+    # any normal doc in the top-5: hot tf=1 only
+    for doc_id, score in got.items():
+        if doc_id != 0:
+            assert score == pytest.approx(
+                bm25(1, dls[doc_id], 301), rel=1e-9
+            )
