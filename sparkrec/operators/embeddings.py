@@ -243,6 +243,11 @@ def pv_dbow_embeddings(
             counts[i] = r["cnt"]
     noise = counts ** 0.75
     cum = np.cumsum(noise / noise.sum())
+    # float cumsum error can leave cum[-1] slightly below 1.0 while
+    # rng.random() can reach 1-2^-53 > cum[-1]; searchsorted would then
+    # return len(vocab) and index out of bounds in mat_b[negs]. Pinning
+    # the last edge to exactly 1.0 makes every draw land in-range.
+    cum[-1] = 1.0
 
     sc = spark.sparkContext
     b = sc.broadcast((vocab, mat, cum))

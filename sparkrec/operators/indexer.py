@@ -74,9 +74,12 @@ class IndexConfig:
     min_token_len: int = 2
     remove_numeric: bool = True
     block_range: int = 4096        # doc ids per block (aligned across terms)
-    # max postings per assembly group — a HARD cap by construction: the
-    # shard is the doc-id block group, which spans at most
-    # docs_per_shard // block_range blocks (encode_postings docstring).
+    # max postings per assembly group — a HARD cap by construction ONLY
+    # when docs_per_shard >= block_range (validated in __post_init__):
+    # the shard is the doc-id block group, which spans at most
+    # max(1, docs_per_shard // block_range) blocks (encode_postings
+    # docstring), so a smaller docs_per_shard would silently bound at
+    # block_range instead.
     # Sized for task balance, not memory:
     # measured at 2M turns, 64k-posting groups make the encode stage
     # straggler-bound (hot-term groups pin whole tasks; 8-core encode wall
@@ -91,6 +94,15 @@ class IndexConfig:
     # content-neutral but not byte-neutral change.
     docs_per_shard: int = 16384
     n_term_buckets: int = 16       # postings partition count (↑ on clusters)
+
+    def __post_init__(self):
+        if self.docs_per_shard < self.block_range:
+            raise ValueError(
+                f"docs_per_shard ({self.docs_per_shard}) must be >= "
+                f"block_range ({self.block_range}): the per-group state "
+                "bound is max(docs_per_shard, block_range), so a smaller "
+                "value would not tighten the cap, only mislead"
+            )
 
 
 def encode_postings(

@@ -263,14 +263,33 @@ def wikilinknn_embeddings(
     pairs = wikilink_pairs(
         corpus, min_count=min_count, id_col=id_col, links_col=links_col
     )
+    # pyspark.ml ALS requires 32-bit ids; a plain (non-ANSI) cast("int")
+    # silently WRAPS doc_ids >= 2^31, colliding distinct articles into
+    # one factor row. Guard with a codegen'd raise instead: ids beyond
+    # INT_MAX need a dense re-map (docs.dense_id_map) before this fit.
+    INT_MAX = 2**31 - 1
+
+    def _als_id(c: str):
+        return (
+            F.when(
+                F.col(c) > F.lit(INT_MAX),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{c} exceeds INT_MAX (ALS uses 32-bit ids;"
+                              " densify ids first): "),
+                        F.col(c).cast("string"),
+                    )
+                ),
+            )
+            .otherwise(F.col(c))
+            .cast("int")
+            .alias(c)
+        )
+
     ratings = (
         pairs.groupBy("article", "link_idx")
         .agg(F.count(F.lit(1)).cast("float").alias("cnt"))
-        .select(
-            F.col("article").cast("int").alias("article"),
-            F.col("link_idx").cast("int").alias("link_idx"),
-            "cnt",
-        )
+        .select(_als_id("article"), _als_id("link_idx"), "cnt")
     )
     als = ALS(
         rank=embedding_size,

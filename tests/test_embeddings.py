@@ -245,6 +245,7 @@ def test_pv_dbow_matches_driver_side_twin(spark, tokenized):
             counts[vocab[t]] += 1
     noise = counts ** 0.75
     cum = np.cumsum(noise / noise.sum())
+    cum[-1] = 1.0  # mirrors embeddings.py's out-of-range guard bit-exactly
 
     def sigmoid(x):
         return 1.0 / (1.0 + np.exp(-np.clip(x, -30.0, 30.0)))

@@ -48,7 +48,8 @@ def main() -> int:
     p.add_argument("--master", default="local[8]")
     p.add_argument("--only", nargs="*", default=None,
                    help="check just these queries() keys (iterating on "
-                        "one oracle without paying the full 43-query gate)")
+                        "one oracle without paying the full gate — the "
+                        "live entry count is the summary line's 'total')")
     args = p.parse_args()
 
     import duckdb
