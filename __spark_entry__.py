@@ -884,6 +884,32 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_decode(spark, sf_dir):
+    """REAL multimodal decode (round-5 upgrade from declared stubs): even
+    doc_ids become true 24-bpp BMP payloads, odd ones true RIFF/WAVE PCM
+    clips with a junk LIST chunk (multimodal.synth_real_media_df), and
+    ``extract_features`` parses them with the pure-numpy codecs — header
+    offsets, row padding, bottom-up rows, BGR order, chunk walking. The
+    oracle regenerates the integer content formulas with generate_series
+    and computes the same int64 moment sums over the DECODED streams, so
+    any parsing error (padding bytes 0xAB or junk-chunk bytes 0xCD
+    leaking into the moments, wrong dims, wrong sample count) breaks the
+    hash. n_units (pixel bytes / samples) is header-derived on the Spark
+    side and formula-derived in the oracle."""
+    from sparkrec.operators.multimodal import (
+        extract_features,
+        synth_real_media_df,
+    )
+
+    media = synth_real_media_df(spark, _documents(spark, sf_dir))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_units",
+        F.round(F.aggregate("feature", F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 4).alias("feat_sum"),
+    )
+
+
 # sf-independent: the transcripts corpus is always n_convs=150, so one
 # on-disk index serves every sf_dir AND gives the oracle a fixed path to
 # the persisted docs table (the build's own parquet output — DuckDB
@@ -969,6 +995,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lda_topic_evals": q_lda_topic_evals,
         # oracled since round 4 (integer-exact fake decode twin):
         "media_features": q_media_features,
+        # round 5: REAL BMP/WAV parsing, decoded-moment twin:
+        "media_decode": q_media_decode,
     }
 
 
@@ -1736,6 +1764,46 @@ SELECT doc_id AS media_id,
        round(sum(f::DOUBLE ORDER BY j), 4) AS feat_sum
 FROM feats GROUP BY doc_id"""
 
+    # media_decode twin: regenerate the synth_real_media_df content
+    # formulas ((id·131 + k·239)%256 pixel bytes, (id·37 + k·101)%65536
+    # shifted samples) with generate_series, sum int64 moments over the
+    # DECODED streams (not the payload bytes — padding 0xAB / junk 0xCD
+    # never appear here), one float64 division per feature, REAL store:
+    # bit-exact vs the numpy kernels' float32 output.
+    media_decode = """WITH ids AS (SELECT doc_id AS m FROM documents),
+img AS (SELECT m, (4 + m % 13) * (3 + m % 7) * 3 AS n
+        FROM ids WHERE m % 2 = 0),
+ivals AS (SELECT m, n, ((m*131 + k*239) % 256)::BIGINT AS v
+          FROM img, unnest(generate_series(0, n - 1)) AS t(k)),
+imom AS (SELECT m, any_value(n) AS n, sum(v) AS s1, sum(v*v) AS s2,
+                sum(v*v*v) AS s3, sum(v*v*v*v) AS s4
+         FROM ivals GROUP BY m),
+imgf AS (SELECT m, n, j,
+  CAST(j + (CASE j%4 WHEN 0 THEN s1 WHEN 1 THEN s2
+            WHEN 2 THEN s3 ELSE s4 END)::DOUBLE
+       / (n * (CASE j%4 WHEN 0 THEN 255 WHEN 1 THEN 65025
+               WHEN 2 THEN 16581375 ELSE 4228250625 END))::DOUBLE
+     AS REAL) AS f
+  FROM imom, unnest(generate_series(0, 15)) AS tj(j)),
+aud AS (SELECT m, 256 + (m % 50) * 16 AS n FROM ids WHERE m % 2 = 1),
+avals AS (SELECT m, n, ((m*37 + k*101) % 65536)::BIGINT AS u
+          FROM aud, unnest(generate_series(0, n - 1)) AS t(k)),
+amom AS (SELECT m, any_value(n) AS n, sum(u) AS s1, sum(u*u) AS s2
+         FROM avals GROUP BY m),
+audf AS (SELECT m, n, j,
+  CAST(j + (CASE j%2 WHEN 0 THEN s1 ELSE s2 END)::DOUBLE
+       / (n * (CASE j%2 WHEN 0 THEN 65535
+               ELSE 4294836225 END))::DOUBLE AS REAL) AS f
+  FROM amom, unnest(generate_series(0, 15)) AS tj(j)),
+allf AS (
+  SELECT m, 'image' AS kind, n, j, f FROM imgf
+  UNION ALL
+  SELECT m, 'audio' AS kind, n, j, f FROM audf)
+SELECT m AS media_id, any_value(kind) AS kind,
+       any_value(n)::INTEGER AS n_units,
+       round(sum(f::DOUBLE ORDER BY j), 4) AS feat_sum
+FROM allf GROUP BY m"""
+
     return {
         "doc_tf": f"WITH {_TF_CTES} SELECT doc_id, term, tf FROM tf",
         "doc_df": f"WITH {_TF_CTES} SELECT term, count(*) AS df FROM tf GROUP BY term",
@@ -1779,4 +1847,5 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "clean_pipeline_en": clean_pipeline_en,
         "transcripts_wand": transcripts_wand_sql,
         "media_features": media_feats,
+        "media_decode": media_decode,
     }
