@@ -415,6 +415,10 @@ class Index:
 
     _lexicon_cached: DataFrame | None = None
     _postings_cached: DataFrame | None = None
+    #: term_bucket subset the postings cache covers; None = full table.
+    #: Query paths must route through ``postings_for`` so a subset warm
+    #: can never silently serve a query whose terms live outside it.
+    _postings_buckets: frozenset | None = None
     _lexicon_map: _DriverLexicon | None = None
 
     #: build the driver-resident lexicon only below this vocabulary size.
@@ -443,20 +447,41 @@ class Index:
         at the current epoch, re-warmed to the same level (the post-merge
         serving handoff: old handle poisoned, new one takes over)."""
         re_post = self._postings_cached is not None
+        re_buckets = self._postings_buckets
         re_warm = re_post or self._lexicon_cached is not None
         for df in (self._lexicon_cached, self._postings_cached):
             if df is not None:
                 df.unpersist()
         self._lexicon_cached = None
         self._postings_cached = None
+        self._postings_buckets = None
         self._lexicon_map = None
         idx = Index.load(spark, self.root)
         if re_warm:
-            idx.warm(spark, postings=re_post)
+            idx.warm(
+                spark, postings=re_post,
+                buckets=sorted(re_buckets) if re_buckets is not None else None,
+            )
         return idx
 
     def postings(self, spark: SparkSession) -> DataFrame:
-        if self._postings_cached is not None:
+        """Full postings table — the warm cache only when it covers the
+        WHOLE table (a bucket-subset warm would drop rows here)."""
+        if self._postings_cached is not None and self._postings_buckets is None:
+            return self._postings_cached
+        return read_table(spark, self.root, "postings")
+
+    def postings_for(self, spark: SparkSession, buckets) -> DataFrame:
+        """Postings source for a query touching only ``buckets``: the warm
+        cache when it covers them (full warm, or a subset warm that is a
+        superset of the query's buckets), else the base parquet scan —
+        whose term_bucket partition pruning makes the cold path cheap.
+        The caller still applies its own bucket/term filters; this only
+        picks the cheapest covering source."""
+        if self._postings_cached is not None and (
+            self._postings_buckets is None
+            or frozenset(buckets) <= self._postings_buckets
+        ):
             return self._postings_cached
         return read_table(spark, self.root, "postings")
 
@@ -465,12 +490,16 @@ class Index:
             return self._lexicon_cached
         return read_table(spark, self.root, "lexicon")
 
-    def warm(self, spark: SparkSession, postings: bool = True) -> "Index":
+    def warm(self, spark: SparkSession, postings: bool = True,
+             buckets=None) -> "Index":
         """Pin serving tables in executor memory (the search-server warm-up:
         a production index is resident, not re-decoded from parquet per
-        query). Lexicon always; postings optionally — at the 100 TB tier
-        you warm the lexicon plus the hot posting buckets and let
-        MEMORY_AND_DISK spill the cold tail."""
+        query). Lexicon always; postings optionally — and at the 100 TB
+        tier you pass ``buckets=[...]`` to pin only the HOT term_buckets
+        (the partition-pruned subset scan) and leave the cold tail on
+        parquet: queries whose terms all live in warmed buckets serve
+        from memory, anything else transparently falls back to the pruned
+        cold scan (``postings_for``) with identical results."""
         lex = read_table(spark, self.root, "lexicon").cache()
         n_terms = lex.count()
         self._lexicon_cached = lex
@@ -480,9 +509,17 @@ class Index:
                 pdf["term"].tolist(), pdf["idf"], pdf["term_bucket"]
             )
         if postings:
-            post = read_table(spark, self.root, "postings").cache()
+            post = read_table(spark, self.root, "postings")
+            if buckets is not None:
+                post = post.filter(
+                    F.col("term_bucket").isin([int(x) for x in buckets])
+                )
+            post = post.cache()
             post.count()
             self._postings_cached = post
+            self._postings_buckets = (
+                None if buckets is None else frozenset(int(x) for x in buckets)
+            )
         return self
 
     def docs(self, spark: SparkSession) -> DataFrame:

@@ -222,7 +222,7 @@ def bm25_query_topk_local(
         return empty
 
     blocks = (
-        index.postings(spark)
+        index.postings_for(spark, buckets)
         .filter(
             F.col("term_bucket").isin(buckets)
             & F.col("term").isin(sorted(idf_map))
@@ -302,7 +302,7 @@ def bm25_query_topk(
     if not live_terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    blocks = index.postings(spark).filter(
+    blocks = index.postings_for(spark, buckets).filter(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(live_terms)
     )
     q_with_idf = spark.createDataFrame(

@@ -78,3 +78,41 @@ def test_compaction_is_answer_invariant_and_merges_rows(spark, tmp_path):
     # covered by the streaming suite; here doc_ids are already aligned
     # because compaction never reassigns them)
     assert _topk(spark, root) == before
+
+
+def test_epoch_chaos_warm_handle_through_compaction(spark, tmp_path):
+    """Serving-handle lifecycle under compaction (VERDICT r4 #7): a WARMED
+    handle — including a bucket-subset warm — is poisoned when compaction
+    bumps the epoch, and ``refresh`` hands back a re-warmed handle at the
+    new epoch whose answers are bit-identical to pre-compaction."""
+    root = str(tmp_path / "idx")
+    build_index(spark, transcripts_df(spark, 40, conv_start=0), root, CFG)
+    merge_index_delta(spark, transcripts_df(spark, 25, conv_start=40), root, CFG)
+
+    before = _topk(spark, root)
+
+    idx = Index.load(spark, root).warm(spark, postings=True, buckets=[0, 2])
+    # handle serves correctly before the chaos
+    assert sorted(
+        (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+        for r in bm25_query_topk(spark, idx, QUERIES, 20).collect()
+    ) == before
+
+    compact_postings(spark, root)
+
+    with pytest.raises(StaleIndexError, match="epoch"):
+        bm25_query_topk(spark, idx, QUERIES, 5)
+
+    fresh = idx.refresh(spark)
+    try:
+        assert fresh.epoch > idx.epoch
+        # refresh re-warms to the same level, preserving the bucket subset
+        assert fresh._postings_cached is not None
+        assert fresh._postings_buckets == frozenset([0, 2])
+        assert sorted(
+            (r["query_id"], r["rank"], r["doc_id"], round(r["score"], 12))
+            for r in bm25_query_topk(spark, fresh, QUERIES, 20).collect()
+        ) == before
+    finally:
+        fresh._postings_cached.unpersist()
+        fresh._lexicon_cached.unpersist()

@@ -172,6 +172,129 @@ def test_parallel_scoring_matches_single_group(spark, index, queries_pdf):
     assert keyed(warm.collect()) == keyed(single)
 
 
+def test_bucket_subset_warm_covers_and_falls_back(spark, index_root, queries_pdf):
+    """warm(buckets=[...]) pins only the hot term_buckets; queries whose
+    terms live inside the warm set serve from the cache, anything else
+    falls back to the pruned cold scan — results identical either way
+    (VERDICT r4 #4 done-condition: warm a subset, query a term in an
+    unwarmed bucket, identical results)."""
+    from sparkrec.operators.scorer import bm25_query_topk_local
+
+    cold = Index.load(spark, index_root)
+    lex = {
+        r["term"]: r["term_bucket"]
+        for r in cold.lexicon(spark).collect()
+    }
+    all_buckets = sorted(set(lex.values()))
+    assert len(all_buckets) >= 2, "fixture must span multiple term_buckets"
+    excl = all_buckets[0]
+    warm_set = all_buckets[1:]
+    t_out = min(t for t, b in lex.items() if b == excl)
+    t_in = min(t for t, b in lex.items() if b == warm_set[0])
+    queries = [
+        ("q_in", t_in),                    # fully inside the warm set
+        ("q_out", t_out),                  # entirely in the unwarmed bucket
+        ("q_mix", f"{t_in} {t_out}"),      # spans both → must fall back
+    ]
+
+    def keyed(rows):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 12))
+            for r in rows
+        }
+
+    baseline = keyed(bm25_query_topk(spark, cold, queries, 10).collect())
+
+    idx = Index.load(spark, index_root).warm(
+        spark, postings=True, buckets=warm_set
+    )
+    try:
+        # the cache really is the subset — bucket `excl` absent from it
+        assert (
+            idx._postings_cached.filter(F.col("term_bucket") == excl).count()
+            == 0
+        )
+        # source selection: cache iff the warm set covers the request
+        assert idx.postings_for(spark, [warm_set[0]]) is idx._postings_cached
+        assert idx.postings_for(spark, [excl]) is not idx._postings_cached
+        assert (
+            idx.postings_for(spark, [excl, warm_set[0]])
+            is not idx._postings_cached
+        )
+        # plain postings() must never serve the subset cache
+        assert idx.postings(spark).count() == cold.postings(spark).count()
+
+        assert keyed(bm25_query_topk(spark, idx, queries, 10).collect()) == baseline
+        local = bm25_query_topk_local(spark, idx, queries, 10)
+        got = {
+            (r.query_id, int(r.rank)): (int(r.doc_id), round(float(r.score), 12))
+            for r in local.itertuples()
+        }
+        assert got == baseline
+    finally:
+        idx._postings_cached.unpersist()
+        idx._lexicon_cached.unpersist()
+
+
+def test_distributed_lexicon_fallback(spark, index_root, queries_pdf, monkeypatch):
+    """Above LEX_DRIVER_CACHE_MAX the driver-resident lexicon map is not
+    built and _lex_lookup falls back to a term-filtered distributed scan;
+    both query paths must return identical results, and the term filter
+    must be pushed into the lexicon's parquet scan (VERDICT r4 #6)."""
+    from sparkrec.operators.scorer import _lex_lookup, bm25_query_topk_local
+
+    def plan(df, mode: str = "formatted") -> str:
+        jvm = df.sparkSession._jvm
+        return df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+        )
+
+    queries = list(zip(queries_pdf["query_id"], queries_pdf["query_text"]))[:4]
+
+    warm_map = Index.load(spark, index_root).warm(spark, postings=False)
+    assert warm_map._lexicon_map is not None
+
+    def keyed(rows):
+        return {
+            (r["query_id"], r["rank"]): (r["doc_id"], round(r["score"], 12))
+            for r in rows
+        }
+
+    want = keyed(bm25_query_topk(spark, warm_map, queries, 10).collect())
+    warm_map._lexicon_cached.unpersist()
+
+    monkeypatch.setattr(Index, "LEX_DRIVER_CACHE_MAX", 0)
+    idx = Index.load(spark, index_root).warm(spark, postings=False)
+    try:
+        assert idx._lexicon_map is None  # the fallback is really exercised
+        some_terms = ["term0001", "term0007"]
+        idf_map, buckets = _lex_lookup(spark, idx, some_terms)
+        assert set(idf_map) <= set(some_terms) and buckets
+
+        assert keyed(bm25_query_topk(spark, idx, queries, 10).collect()) == want
+        local = bm25_query_topk_local(spark, idx, queries, 10)
+        got = {
+            (r.query_id, int(r.rank)): (int(r.doc_id), round(float(r.score), 12))
+            for r in local.itertuples()
+        }
+        assert got == want
+    finally:
+        idx._lexicon_cached.unpersist()
+
+    # pushdown evidence: the exact scan _lex_lookup issues on a COLD index
+    # carries the term In-filter into the parquet source. (Must run after
+    # the unpersist — while any lexicon cache is alive, Spark's cache
+    # manager substitutes InMemoryTableScan, which has no PushedFilters.)
+    base = Index.load(spark, index_root)
+    p = plan(
+        base.lexicon(spark)
+        .filter(F.col("term").isin(some_terms))
+        .select("term", "idf", "term_bucket")
+    )
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and any("term" in l and "In(" in l for l in pushed), p
+
+
 def test_resume_skips_completed_stages(spark, transcripts, index_root):
     """Re-running build_index against an existing root is a no-op: every
     stage is skipped (memoize-on-existence, conftest.py:27-29 pattern)."""
