@@ -748,7 +748,17 @@ def q_doc2vec_topk(spark, sf_dir):
     — reference model.py:131-155 semantics) → brute cosine top-k for one
     query doc (rows-only: iterative SGD training is not SQL-expressible;
     kernel-vs-twin bit-exactness and partition-independence are pytest
-    invariants in tests/test_embeddings.py)."""
+    invariants in tests/test_embeddings.py and, end-to-end through
+    gen_embeddings, tests/test_ml_determinism.py).
+
+    Determinism bound: GIVEN the word matrix, doc vectors are a pure
+    function of (seed, doc_id, tokens) — bit-exact across any
+    partitioning/parallelism. The Word2Vec fit feeding the matrix is
+    pyspark.ml distributed SGD and IS partition-dependent (different
+    repartitioning → different matrix → different top-k); within one
+    session with a fixed seed and unchanged input partitioning it is
+    reproducible, which is what the driver's run-twice determinism
+    check verifies."""
     from sparkrec.operators.embeddings import pv_dbow_embeddings
     from sparkrec.operators.simsearch import cosine_topk
 
@@ -772,7 +782,14 @@ def q_wikilinknn_topk(spark, sf_dir):
     dot-product fit, model.py:386-560) → cosine top-k for one article
     (rows-only: iterative alternating least squares is not
     SQL-expressible; structure/determinism invariants in
-    tests/test_wikilink_nn.py)."""
+    tests/test_wikilink_nn.py).
+
+    Determinism bound: ALS with a fixed seed is BIT-EXACT across input
+    partitioning (measured repartition(1) vs (7), 500-doc corpus;
+    asserted in tests/test_ml_determinism.py) — ALS re-blocks into its
+    own fixed numBlocks grid with seeded per-block init, so input
+    partitioning never reaches the solver. The strongest invariance in
+    the ML tail."""
     from sparkrec.operators.simsearch import cosine_topk
     from sparkrec.operators.wikilink_nn import wikilinknn_embeddings
 
@@ -793,7 +810,14 @@ def q_wikilinknn_topk(spark, sf_dir):
 
 def q_lda_doc_topics(spark, sf_dir):
     """A6: online-VB LDA doc-topic distributions (rows-only; structural
-    invariants in tests/test_topics.py)."""
+    invariants in tests/test_topics.py).
+
+    Determinism bound: online VB's mini-batch composition follows the
+    partitioning, so the fit is partition-DEPENDENT by design. The
+    assertable level is fixed seed + fixed partitioning → identical fit
+    run-to-run (tests/test_ml_determinism.py; requires the
+    deterministic-vocab sort in topics._bow), which is the level the
+    driver's run-twice determinism check exercises."""
     from sparkrec.operators.topics import fit_lda
 
     _, doc_topics = fit_lda(
@@ -810,7 +834,12 @@ def q_lda_doc_topics(spark, sf_dir):
 
 def q_lda_topic_evals(spark, sf_dir):
     """T9: stability/coherence per candidate topic count + the ideal
-    argmax (reference utils.py:60-232 selection rule)."""
+    argmax (reference utils.py:60-232 selection rule).
+
+    Determinism bound: inherits LDA's (q_lda_doc_topics) — partition-
+    dependent fits, reproducible at fixed seed + fixed partitioning;
+    the coherence/stability aggregation on top is deterministic given
+    the fits (window-enumerating twin fuzz in tests/test_topics.py)."""
     from sparkrec.operators.topics import topic_evals
 
     return topic_evals(
