@@ -28,6 +28,12 @@ Scale design (SURVEY.md §4.2):
   down into the parquet/Iceberg scan.
 - Encoding runs in ``mapInPandas`` with the batched numpy codec — one
   vectorized call per Arrow batch, not per posting (operators/codec.py).
+- **Two-phase assembly** (§4.2.1, the default): TF is counted in-row and
+  partial blocks are varint-encoded map-side, so the single corpus
+  exchange carries ~5 B/posting of compressed bytes instead of raw
+  struct rows over two exchanges (``encode_postings_twophase``); the
+  reduce merges split blocks with a canonical re-encode, keeping table
+  content bit-identical to the rows path.
 """
 
 from __future__ import annotations
@@ -42,7 +48,7 @@ from pyspark.sql import functions as F
 
 from sparkrec import BM25_B, BM25_K1
 from sparkrec.operators.bm25 import term_freqs, tokenize_docs
-from sparkrec.operators.codec import encode_postings_many
+from sparkrec.operators.codec import decode_postings_many, encode_postings_many
 from sparkrec.operators.docs import assemble_docs, assign_doc_ids
 from sparkrec.sources.tables import (
     bump_index_epoch,
@@ -94,8 +100,21 @@ class IndexConfig:
     # content-neutral but not byte-neutral change.
     docs_per_shard: int = 16384
     n_term_buckets: int = 16       # postings partition count (↑ on clusters)
+    # postings assembly strategy (SURVEY §4.2.1). "twophase": TF counted
+    # AND blocks pre-encoded map-side, the ONE corpus exchange carries
+    # varint bytes (~5 B/posting), reduce merges partial blocks —
+    # canonical re-encode makes output bytes identical to "rows".
+    # "rows": explode→TF agg→groupBy(term, shard) with raw struct rows
+    # crossing two corpus exchanges (~40 B/posting) — the round-1..4
+    # layout, kept for A/B and as the no-Python-in-build fallback.
+    postings_path: str = "twophase"
 
     def __post_init__(self):
+        if self.postings_path not in ("twophase", "rows"):
+            raise ValueError(
+                f"postings_path must be 'twophase' or 'rows', "
+                f"got {self.postings_path!r}"
+            )
         if self.docs_per_shard < self.block_range:
             raise ValueError(
                 f"docs_per_shard ({self.docs_per_shard}) must be >= "
@@ -206,6 +225,229 @@ def encode_postings(
             )
 
     return grouped.mapInPandas(encode, schema=POSTINGS_SCHEMA)
+
+
+def encode_postings_twophase(docs: DataFrame, cfg: IndexConfig) -> DataFrame:
+    """docs (doc_id, doc_len, tokens, …) → encoded block rows via the
+    SURVEY §4.2.1 two-phase layout.
+
+    **Phase 1 (map-only).** TF needs no cross-row aggregation — a doc's
+    tokens live entirely in its own row — so the rows path's explode →
+    groupBy(doc_id, term) corpus exchange is pure waste. Here each Arrow
+    batch counts TF in-row with a factorize + lexsort run-length kernel
+    (int codes, not interpreted HOF lambdas — the 1.6×-slower per-element
+    HOF variant in BENCH.md "tried and rejected" is a different animal),
+    cuts partial posting lists at the SAME ``block_range`` boundaries as
+    the rows path, and varint-encodes them immediately. Partial rows use
+    POSTINGS_SCHEMA verbatim.
+
+    **Phase 2 (the one exchange).** Partials shuffle on (term, shard)
+    carrying ~5 B/posting of varint bytes instead of ~40 B/posting of raw
+    (doc_id, tf, doc_len) structs over TWO corpus exchanges. Per-group
+    reduce state stays hard-capped: ≤ docs_per_shard postings, now in
+    encoded form. Blocks wholly inside one map batch pass through
+    untouched (their bytes are already the canonical encode of the full
+    sorted list); blocks split across batches are decoded, merge-sorted
+    by doc_id, and re-encoded. The codec is a deterministic function of
+    the sorted content, so the output table is CONTENT-IDENTICAL to the
+    rows path — including the binary columns (tests/test_indexer.py
+    asserts full-table equality, and streaming merges built on the rows
+    path stay bit-compatible).
+
+    Shard/block assignment matches encode_postings exactly: shard =
+    (doc_id // block_range) // blocks_per_group, nonnegative ids, so
+    int64 floor division here equals Spark's double-divide-then-cast.
+    """
+    blocks_per_group = max(1, cfg.docs_per_shard // cfg.block_range)
+    block_range = cfg.block_range
+
+    def partial_encode(batches):
+        for pdf in batches:
+            tok_lists = pdf["tokens"]
+            n_rows = len(tok_lists)
+            if n_rows == 0:
+                continue
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            doc_lens = pdf["doc_len"].to_numpy(dtype=np.int64)
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64, count=n_rows
+            )
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists if len(t)]
+            )
+            codes, uniques = pd.factorize(flat)
+            docx = np.repeat(np.arange(n_rows), lens)
+            # TF in-row: sort (doc, code) pairs, run-length the runs
+            order = np.lexsort((codes, docx))
+            dc, cc = docx[order], codes[order]
+            newrun = np.empty(len(dc), dtype=bool)
+            newrun[0] = True
+            newrun[1:] = (dc[1:] != dc[:-1]) | (cc[1:] != cc[:-1])
+            run_starts = np.flatnonzero(newrun)
+            run_tf = np.diff(np.append(run_starts, len(dc)))
+            run_code = cc[run_starts]
+            run_docid = doc_ids[dc[run_starts]]
+            run_dl = doc_lens[dc[run_starts]]
+            # partial blocks: sort runs by (term code, doc_id); block is
+            # monotone in doc_id so (code, doc_id) order groups blocks
+            order2 = np.lexsort((run_docid, run_code))
+            g_code = run_code[order2]
+            g_docid = run_docid[order2]
+            g_tf = run_tf[order2]
+            g_dl = run_dl[order2]
+            g_block = g_docid // block_range
+            cut = (
+                np.flatnonzero(
+                    (g_code[1:] != g_code[:-1]) | (g_block[1:] != g_block[:-1])
+                )
+                + 1
+            )
+            starts = np.concatenate(([0], cut))
+            ends = np.concatenate((cut, [len(g_code)]))
+            doc_lists = [
+                g_docid[s:e].astype(np.uint64) for s, e in zip(starts, ends)
+            ]
+            tf_lists = [g_tf[s:e].astype(np.uint64) for s, e in zip(starts, ends)]
+            dl_lists = [g_dl[s:e].astype(np.uint64) for s, e in zip(starts, ends)]
+            docs_enc, tfs_enc, dls_enc = encode_postings_many(
+                doc_lists, tf_lists, dl_lists
+            )
+            block_ids = g_block[starts]
+            yield pd.DataFrame(
+                {
+                    "term": uniques[g_code[starts]],
+                    "shard": (block_ids // blocks_per_group).astype(np.int32),
+                    "block_id": block_ids.astype(np.int64),
+                    "n": (ends - starts).astype(np.int32),
+                    "doc_lo": g_docid[starts].astype(np.int64),
+                    "doc_hi": g_docid[ends - 1].astype(np.int64),
+                    "max_tf": np.maximum.reduceat(g_tf, starts).astype(np.int32),
+                    "min_dl": np.minimum.reduceat(g_dl, starts).astype(np.int32),
+                    "docs_enc": docs_enc,
+                    "tfs_enc": tfs_enc,
+                    "dls_enc": dls_enc,
+                }
+            )
+
+    partials = docs.select("doc_id", "doc_len", "tokens").mapInPandas(
+        partial_encode, schema=POSTINGS_SCHEMA
+    )
+
+    # the ONE corpus exchange: encoded partials keyed (term, shard).
+    # struct sorts by field order, so (block_id, doc_lo) leads — within a
+    # group, partials arrive block-grouped and doc_lo-ordered. (block_id,
+    # doc_lo) is unique per group: a (doc, term) pair lands in exactly
+    # one map batch, so two partials of one block can't share doc_lo.
+    grouped = partials.groupBy("term", "shard").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "block_id", "doc_lo", "doc_hi", "n", "max_tf", "min_dl",
+                    "docs_enc", "tfs_enc", "dls_enc",
+                )
+            )
+        ).alias("parts")
+    )
+
+    def merge(batches):
+        for pdf in batches:
+            o_term, o_shard, o_block = [], [], []
+            o_n, o_lo, o_hi, o_mtf, o_mdl = [], [], [], [], []
+            o_de, o_te, o_le = [], [], []
+            m_term, m_shard, m_block = [], [], []
+            m_d, m_t, m_l = [], [], []  # per split block: list of blobs
+            for term, shard, parts in zip(
+                pdf["term"], pdf["shard"], pdf["parts"]
+            ):
+                i, n_parts = 0, len(parts)
+                while i < n_parts:
+                    bid = parts[i]["block_id"]
+                    j = i + 1
+                    while j < n_parts and parts[j]["block_id"] == bid:
+                        j += 1
+                    if j == i + 1:
+                        # unsplit block: already the canonical encode
+                        p = parts[i]
+                        o_term.append(term)
+                        o_shard.append(shard)
+                        o_block.append(bid)
+                        o_n.append(p["n"])
+                        o_lo.append(p["doc_lo"])
+                        o_hi.append(p["doc_hi"])
+                        o_mtf.append(p["max_tf"])
+                        o_mdl.append(p["min_dl"])
+                        o_de.append(p["docs_enc"])
+                        o_te.append(p["tfs_enc"])
+                        o_le.append(p["dls_enc"])
+                    else:
+                        m_term.append(term)
+                        m_shard.append(shard)
+                        m_block.append(bid)
+                        m_d.append([parts[k]["docs_enc"] for k in range(i, j)])
+                        m_t.append([parts[k]["tfs_enc"] for k in range(i, j)])
+                        m_l.append([parts[k]["dls_enc"] for k in range(i, j)])
+                    i = j
+            if m_term:
+                dd, tt, ll = decode_postings_many(
+                    [b for grp in m_d for b in grp],
+                    [b for grp in m_t for b in grp],
+                    [b for grp in m_l for b in grp],
+                )
+                doc_lists, tf_lists, dl_lists = [], [], []
+                idx = 0
+                for grp in m_d:
+                    k = len(grp)
+                    d = np.concatenate(dd[idx : idx + k])
+                    t = np.concatenate(tt[idx : idx + k])
+                    dl = np.concatenate(ll[idx : idx + k])
+                    # map batches are arbitrary row ranges: doc ranges of
+                    # partials may interleave — merge-sort when needed
+                    # ((doc, term) is unique, so no tie order to worry)
+                    if len(d) > 1 and not np.all(d[1:] > d[:-1]):
+                        o = np.argsort(d, kind="stable")
+                        d, t, dl = d[o], t[o], dl[o]
+                    doc_lists.append(d)
+                    tf_lists.append(t)
+                    dl_lists.append(dl)
+                    idx += k
+                de, te, le = encode_postings_many(doc_lists, tf_lists, dl_lists)
+                flat_tf = np.concatenate(tf_lists)
+                flat_dl = np.concatenate(dl_lists)
+                lens = np.array([len(x) for x in doc_lists])
+                starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                o_term.extend(m_term)
+                o_shard.extend(m_shard)
+                o_block.extend(m_block)
+                o_n.extend(lens.tolist())
+                o_lo.extend(int(x[0]) for x in doc_lists)
+                o_hi.extend(int(x[-1]) for x in doc_lists)
+                o_mtf.extend(np.maximum.reduceat(flat_tf, starts).tolist())
+                o_mdl.extend(np.minimum.reduceat(flat_dl, starts).tolist())
+                o_de.extend(de)
+                o_te.extend(te)
+                o_le.extend(le)
+            if not o_term:
+                continue
+            yield pd.DataFrame(
+                {
+                    "term": o_term,
+                    "shard": np.asarray(o_shard, dtype=np.int32),
+                    "block_id": np.asarray(o_block, dtype=np.int64),
+                    "n": np.asarray(o_n, dtype=np.int32),
+                    "doc_lo": np.asarray(o_lo, dtype=np.int64),
+                    "doc_hi": np.asarray(o_hi, dtype=np.int64),
+                    "max_tf": np.asarray(o_mtf, dtype=np.int32),
+                    "min_dl": np.asarray(o_mdl, dtype=np.int32),
+                    "docs_enc": o_de,
+                    "tfs_enc": o_te,
+                    "dls_enc": o_le,
+                }
+            )
+
+    return grouped.mapInPandas(merge, schema=POSTINGS_SCHEMA)
 
 
 def build_index(
@@ -321,7 +563,11 @@ def build_index_from_docs(
     with Stage("postings", index_root, overwrite, metrics) as st:
         ran_any |= st.needed
         if st.needed:
-            enc = encode_postings(term_freqs(docs), n_docs, avgdl, cfg).withColumn(
+            if cfg.postings_path == "twophase":
+                enc = encode_postings_twophase(docs, cfg)
+            else:
+                enc = encode_postings(term_freqs(docs), n_docs, avgdl, cfg)
+            enc = enc.withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
             )

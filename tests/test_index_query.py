@@ -396,3 +396,63 @@ def test_giant_doc_skew_exact_scores(spark, tmp_path_factory):
             assert score == pytest.approx(
                 bm25(1, dls[doc_id], 301), rel=1e-9
             )
+
+
+def test_twophase_matches_rows_bit_exact(spark, index, tmp_path_factory):
+    """The §4.2.1 two-phase build (map-side pre-encoded partials, one
+    exchange of varint bytes) produces a postings table CONTENT-IDENTICAL
+    to the rows path — every column including the binary encodings — and
+    an identical lexicon. Docs are randomly repartitioned into 16 slices
+    so most blocks split across map batches with interleaved doc ranges,
+    exercising the decode→merge-sort→re-encode branch, while rare terms
+    keep single-partial blocks, exercising the passthrough."""
+    from sparkrec.operators.indexer import build_index_from_docs
+    from sparkrec.sources.tables import read_table
+
+    docs = (
+        index.docs(spark)
+        .select("doc_id", "tokens", "doc_len")
+        .repartition(16)
+    )
+
+    roots = {}
+    for path in ("rows", "twophase"):
+        cfg = IndexConfig(
+            block_range=CFG.block_range,
+            docs_per_shard=CFG.docs_per_shard,
+            n_term_buckets=CFG.n_term_buckets,
+            postings_path=path,
+        )
+        root = str(tmp_path_factory.mktemp(f"idx_{path}"))
+        build_index_from_docs(spark, docs, root, cfg)
+        roots[path] = root
+
+    def snapshot(root):
+        rows = read_table(spark, root, "postings").collect()
+        return sorted(
+            (
+                r["term"], r["shard"], r["block_id"], r["n"],
+                r["doc_lo"], r["doc_hi"], r["max_tf"], r["min_dl"],
+                bytes(r["docs_enc"]), bytes(r["tfs_enc"]), bytes(r["dls_enc"]),
+                r["term_bucket"],
+            )
+            for r in rows
+        )
+
+    post_rows = snapshot(roots["rows"])
+    post_two = snapshot(roots["twophase"])
+    assert len(post_rows) > 0
+    assert post_two == post_rows
+
+    def lex(root):
+        return sorted(
+            (r["term"], r["df"], r["idf"], r["term_bucket"])
+            for r in read_table(spark, root, "lexicon").collect()
+        )
+
+    assert lex(roots["twophase"]) == lex(roots["rows"])
+
+
+def test_twophase_invalid_path_rejected():
+    with pytest.raises(ValueError, match="postings_path"):
+        IndexConfig(postings_path="three-phase")
