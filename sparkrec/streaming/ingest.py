@@ -184,6 +184,11 @@ def _merge_locked(
     # pure function of doc_id (encode_postings), so appended blocks get
     # the exact shard a from-scratch rebuild would assign — no df join,
     # and group state stays hard-capped at docs_per_shard postings.
+    # Deltas keep the rows path deliberately: the exchange here is
+    # delta-sized, not corpus-sized, so the twophase pre-encode's CPU
+    # cost buys nothing (BENCH.md round-5 A/B) — and the tf relation is
+    # needed anyway for df_delta above. Either path yields bit-identical
+    # blocks, so merge==rebuild stays exact under the twophase default.
     enc = encode_postings(tf, n_docs, avgdl, cfg).withColumn(
         "term_bucket",
         F.pmod(F.xxhash64("term"), F.lit(cfg.n_term_buckets)).cast("int"),
