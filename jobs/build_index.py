@@ -43,7 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--master", default=None, help="default: $SPARKREC_MASTER or local[*]")
     p.add_argument("--shuffle-partitions", type=int, default=None)
     p.add_argument("--block-range", type=int, default=4096)
-    p.add_argument("--docs-per-shard", type=int, default=65536)
+    # match IndexConfig.docs_per_shard: 16k won the steal-gated A/Bs at
+    # 2/8/32 cores (BENCH.md "docs_per_shard A/B"); this CLI default had
+    # lagged at the rejected 64k
+    p.add_argument("--docs-per-shard", type=int, default=16384)
     p.add_argument("--term-buckets", type=int, default=16)
     p.add_argument("--min-token-len", type=int, default=2)
     p.add_argument("--overwrite", action="store_true")
