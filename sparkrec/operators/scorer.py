@@ -290,12 +290,38 @@ def bm25_query_topk(
     is weaker, trading some pruning for P-way parallelism on hot terms.
     At the 100 TB tier P ≈ number of executor cores is the right setting
     for fat analytical queries; interactive point queries keep P = 1.
+
+    Textually identical queries (same post-tokenize term multiset) are
+    scored ONCE and fanned back out to every query_id with a broadcast
+    join: group-by-query scoring replicates each shared posting block
+    across the exchange once per query_id, so B duplicates would cost
+    B× the shuffle bytes for bit-identical kernel output (the kernel is
+    a pure function of the term vector and the index — measured on a
+    96k-conv index: an 80×-tiled batch is shuffle-bandwidth-bound,
+    BENCH.md "Query-batch redundancy"). All-distinct batches take the
+    original path unchanged.
     """
     index.check_fresh()
     qrows = _query_term_rows(queries, min_token_len, remove_numeric)
     terms = sorted({t for _, t, _ in qrows})
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
+
+    # batch dedup: one representative query_id per distinct term vector
+    # (qrows pairs are term-sorted, so the tuple is canonical; the rep is
+    # the first occurrence in caller order — deterministic)
+    pairs_by_qid: dict[str, list[tuple[str, int]]] = {}
+    for qid, t, qtf in qrows:
+        pairs_by_qid.setdefault(qid, []).append((t, qtf))
+    rep_of_sig: dict[tuple, str] = {}
+    rep_for_qid: dict[str, str] = {}
+    for qid, _qtext in queries:
+        sig = tuple(pairs_by_qid.get(qid, ()))
+        rep_for_qid[qid] = rep_of_sig.setdefault(sig, qid)
+    fan_out = any(rep != qid for qid, rep in rep_for_qid.items())
+    if fan_out:
+        reps = set(rep_of_sig.values())
+        qrows = [row for row in qrows if row[0] in reps]
 
     idf_map, buckets = _lex_lookup(spark, index, terms)
     live_terms = sorted(idf_map)
@@ -332,25 +358,41 @@ def bm25_query_topk(
         )
 
     if not n_score_partitions or n_score_partitions <= 1:
-        return joined.groupBy("query_id").applyInPandas(
+        result = joined.groupBy("query_id").applyInPandas(
             score_group, schema=TOPK_SCHEMA
         )
+    else:
+        # parallel mode: doc-aligned range split → per-range exact top-k →
+        # global merge (re-rank) per query
+        max_block = max(1, index.n_docs // index.block_range)
+        blocks_per_part = max(
+            1, (max_block + n_score_partitions) // n_score_partitions
+        )
+        ranged = joined.withColumn(
+            "_range", (F.col("block_id") / F.lit(blocks_per_part)).cast("long")
+        )
+        partial = ranged.groupBy("query_id", "_range").applyInPandas(
+            score_group, schema=TOPK_SCHEMA
+        )
+        from pyspark.sql import Window
 
-    # parallel mode: doc-aligned range split → per-range exact top-k →
-    # global merge (re-rank) per query
-    max_block = max(1, index.n_docs // index.block_range)
-    blocks_per_part = max(1, (max_block + n_score_partitions) // n_score_partitions)
-    ranged = joined.withColumn(
-        "_range", (F.col("block_id") / F.lit(blocks_per_part)).cast("long")
-    )
-    partial = ranged.groupBy("query_id", "_range").applyInPandas(
-        score_group, schema=TOPK_SCHEMA
-    )
-    from pyspark.sql import Window
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        result = (
+            partial.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score")
+        )
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        partial.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score")
-    )
+    if fan_out:
+        mapping = spark.createDataFrame(
+            sorted((rep, qid) for qid, rep in rep_for_qid.items()),
+            "rep string, query_id string",
+        )
+        result = (
+            result.withColumnRenamed("query_id", "rep")
+            .join(F.broadcast(mapping), "rep")
+            .select("query_id", "rank", "doc_id", "score")
+        )
+    return result

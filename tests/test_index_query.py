@@ -172,6 +172,59 @@ def test_parallel_scoring_matches_single_group(spark, index, queries_pdf):
     assert keyed(warm.collect()) == keyed(single)
 
 
+def test_duplicate_query_batch_dedups_and_fans_out(spark, index, queries_pdf):
+    """Textually identical queries are scored once and fanned out
+    bit-exactly: every duplicate query_id gets rows identical
+    (rank, doc_id, score) to the same text scored in an all-distinct
+    batch (the undeduped path), in both scoring modes; queries whose
+    terms are absent from the index stay absent for every duplicate."""
+    base = list(zip(queries_pdf["query_id"], queries_pdf["query_text"]))[:4]
+    k = 10
+
+    def by_qid(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    want = by_qid(bm25_query_topk(spark, index, base, k=k).collect())
+
+    tiled = [
+        (f"{qid}-t{rep}", qtext) for rep in range(3) for qid, qtext in base
+    ]
+    got = by_qid(bm25_query_topk(spark, index, tiled, k=k).collect())
+    assert set(got) == {
+        f"{qid}-t{rep}" for rep in range(3) for qid, _ in base if qid in want
+    }
+    for qid, _ in base:
+        if qid in want:
+            for rep in range(3):
+                assert got[f"{qid}-t{rep}"] == want[qid]
+
+    got_par = by_qid(
+        bm25_query_topk(
+            spark, index, tiled, k=k, n_score_partitions=2
+        ).collect()
+    )
+    assert got_par == got
+
+    # mixed batch: duplicates alongside originals, plus duplicated
+    # queries whose only term is absent from the index
+    mixed = base + [
+        (f"{base[0][0]}-dup", base[0][1]),
+        ("q-absent", "zqzq"),
+        ("q-absent2", "zqzq"),
+    ]
+    got2 = by_qid(bm25_query_topk(spark, index, mixed, k=k).collect())
+    assert got2[f"{base[0][0]}-dup"] == want[base[0][0]]
+    assert "q-absent" not in got2 and "q-absent2" not in got2
+    for qid, _ in base:
+        if qid in want:
+            assert got2[qid] == want[qid]
+
+
 def test_bucket_subset_warm_covers_and_falls_back(spark, index_root, queries_pdf):
     """warm(buckets=[...]) pins only the hot term_buckets; queries whose
     terms live inside the warm set serve from the cache, anything else
