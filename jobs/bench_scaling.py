@@ -132,8 +132,13 @@ def run_single(cores: int, n_convs: int, root: str, trials: int = 2,
     idx = Index.load(spark, root)
     idx.warm(spark)
     # Throughput workload: the fixture set tiled to 300 distinct query ids.
-    # Parallelism comes from INTER-query distribution (the groupBy
-    # query_id shuffle spreads queries across all cores);
+    # NOTE (round 5): bm25_query_topk now dedups textually identical
+    # queries (one kernel per distinct term vector + broadcast fan-out),
+    # so this tiled workload exercises the dedup fast path — its q/s is
+    # NOT comparable to pre-dedup rounds (BENCH.md "Query-batch
+    # redundancy"). Build throughput, the north-rule headline, is
+    # unaffected. Parallelism comes from INTER-query distribution (the
+    # groupBy query_id shuffle spreads queries across all cores);
     # n_score_partitions stays 1 — per-query posting volume at this sf is
     # far too small to amortize intra-query splitting (that mode is for
     # hot terms at the full corpus tier, see operators/scorer.py).
