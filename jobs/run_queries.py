@@ -41,6 +41,11 @@ def parse_args(argv=None):
     p.add_argument("--k", type=int, default=10)
     p.add_argument("--master", default=None)
     p.add_argument("--score-partitions", type=int, default=1)
+    p.add_argument("--mode", choices=["group", "scan"], default="group",
+                   help="group: per-query WAND groups (selective batches);"
+                        " scan: doc-range groups with queries shipped to"
+                        " the data — query-count-independent shuffle for"
+                        " large analytical batches (identical results)")
     p.add_argument("--out", default=None, help="optional parquet output path")
     p.add_argument("--no-warm", action="store_true",
                    help="skip pinning lexicon+postings in memory first")
@@ -80,9 +85,15 @@ def main(argv=None) -> dict:
     warm_sec = time.monotonic() - t_warm
 
     t0 = time.monotonic()
-    out = bm25_query_topk(
-        spark, idx, qset, args.k, n_score_partitions=args.score_partitions
-    )
+    if args.mode == "scan":
+        from sparkrec.operators.scorer import bm25_query_topk_scan
+
+        out = bm25_query_topk_scan(spark, idx, qset, args.k)
+    else:
+        out = bm25_query_topk(
+            spark, idx, qset, args.k,
+            n_score_partitions=args.score_partitions,
+        )
     if args.out:
         out.write.mode("overwrite").parquet(args.out)
         n_rows = spark.read.parquet(args.out).count()

@@ -60,6 +60,17 @@ def wand_topk(
     if len(blocks) == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.float64)
 
+    # canonical row order: per-doc float accumulation below follows row
+    # order (stable argsort), so without this sort the last bits of a
+    # multi-term doc's score would depend on Spark's group-row arrival
+    # order. Sorting by (term, block_id) makes scores a pure function of
+    # the query + index at ANY parallelism/arrival order, and is the
+    # same per-doc term-major order the scan path uses
+    # (bm25_query_topk_scan) — the two paths agree bit-for-bit.
+    blocks = blocks.sort_values(
+        ["term", "block_id"], kind="mergesort", ignore_index=True
+    )
+
     factor = np.array(
         [term_meta[t][0] * term_meta[t][1] for t in blocks["term"]], dtype=np.float64
     )
@@ -264,6 +275,46 @@ def bm25_query_topk_local(
     return pd.concat(out, ignore_index=True) if out else empty
 
 
+def _dedup_reps(
+    queries: list[tuple[str, str]],
+    qrows: list[tuple[str, str, int]],
+) -> tuple[list[tuple[str, str, int]], dict[str, str], bool]:
+    """Batch dedup bookkeeping: one representative query_id per distinct
+    post-tokenize term vector (qrows pairs are term-sorted, so the tuple
+    is canonical; the rep is the first occurrence in caller order —
+    deterministic). Returns (qrows restricted to reps, qid→rep map,
+    whether any fan-out is needed)."""
+    pairs_by_qid: dict[str, list[tuple[str, int]]] = {}
+    for qid, t, qtf in qrows:
+        pairs_by_qid.setdefault(qid, []).append((t, qtf))
+    rep_of_sig: dict[tuple, str] = {}
+    rep_for_qid: dict[str, str] = {}
+    for qid, _qtext in queries:
+        sig = tuple(pairs_by_qid.get(qid, ()))
+        rep_for_qid[qid] = rep_of_sig.setdefault(sig, qid)
+    fan_out = any(rep != qid for qid, rep in rep_for_qid.items())
+    if fan_out:
+        reps = set(rep_of_sig.values())
+        qrows = [row for row in qrows if row[0] in reps]
+    return qrows, rep_for_qid, fan_out
+
+
+def _fan_out_result(
+    spark: SparkSession, result: DataFrame, rep_for_qid: dict[str, str]
+) -> DataFrame:
+    """Broadcast-join per-representative top-k back to every query_id
+    (exact: the kernel is a pure function of the term vector + index)."""
+    mapping = spark.createDataFrame(
+        sorted((rep, qid) for qid, rep in rep_for_qid.items()),
+        "rep string, query_id string",
+    )
+    return (
+        result.withColumnRenamed("query_id", "rep")
+        .join(F.broadcast(mapping), "rep")
+        .select("query_id", "rank", "doc_id", "score")
+    )
+
+
 def bm25_query_topk(
     spark: SparkSession,
     index: Index,
@@ -307,21 +358,7 @@ def bm25_query_topk(
     if not terms:
         return spark.createDataFrame([], TOPK_SCHEMA)
 
-    # batch dedup: one representative query_id per distinct term vector
-    # (qrows pairs are term-sorted, so the tuple is canonical; the rep is
-    # the first occurrence in caller order — deterministic)
-    pairs_by_qid: dict[str, list[tuple[str, int]]] = {}
-    for qid, t, qtf in qrows:
-        pairs_by_qid.setdefault(qid, []).append((t, qtf))
-    rep_of_sig: dict[tuple, str] = {}
-    rep_for_qid: dict[str, str] = {}
-    for qid, _qtext in queries:
-        sig = tuple(pairs_by_qid.get(qid, ()))
-        rep_for_qid[qid] = rep_of_sig.setdefault(sig, qid)
-    fan_out = any(rep != qid for qid, rep in rep_for_qid.items())
-    if fan_out:
-        reps = set(rep_of_sig.values())
-        qrows = [row for row in qrows if row[0] in reps]
+    qrows, rep_for_qid, fan_out = _dedup_reps(queries, qrows)
 
     idf_map, buckets = _lex_lookup(spark, index, terms)
     live_terms = sorted(idf_map)
@@ -386,13 +423,164 @@ def bm25_query_topk(
         )
 
     if fan_out:
-        mapping = spark.createDataFrame(
-            sorted((rep, qid) for qid, rep in rep_for_qid.items()),
-            "rep string, query_id string",
+        result = _fan_out_result(spark, result, rep_for_qid)
+    return result
+
+
+def bm25_query_topk_scan(
+    spark: SparkSession,
+    index: Index,
+    queries: list[tuple[str, str]],
+    k: int,
+    min_token_len: int = 2,
+    remove_numeric: bool = True,
+    n_ranges: int | None = None,
+) -> DataFrame:
+    """Batch-analytic top-k: corpus-proportional (query-count-independent)
+    shuffle for LARGE query batches.
+
+    ``bm25_query_topk`` joins blocks×queries and groups by query_id, so
+    every posting block crosses the exchange once PER query that touches
+    its term — right for small/selective batches where block-max WAND
+    skips most of the corpus, but for B analytical queries sharing hot
+    terms the exchange carries B× the bytes (measured shuffle-bandwidth-
+    bound at 10k queries, BENCH.md "Query-batch redundancy"). This path
+    inverts the movement: queries (tiny) ship to the data in the UDF
+    closure, blocks group by doc-range only — each block row crosses the
+    exchange exactly ONCE regardless of batch size — and every query is
+    scored inside the range group from once-decoded arrays (exhaustive
+    per range, no WAND pruning: an analytical batch touches most blocks
+    anyway, so there is nothing to skip). Blocks are doc-aligned across
+    terms (operators/indexer.py), so each range is score-complete and
+    the exact global top-k is the windowed merge of per-range top-k
+    candidates — the same merge the ``n_score_partitions`` mode uses.
+    Results are identical (ids AND scores) to ``bm25_query_topk``.
+
+    At the 100 TB tier this is the map-side-join shape: a doc-range-
+    partitioned postings layout would make the single exchange a
+    partition-local read; with the shipped term_bucket layout it is one
+    corpus-sized shuffle, amortized over the whole batch.
+
+    NOT the default: the measured A/B at sf0.1-scale (96k docs, 10k
+    distinct 3-term queries — BENCH.md "Query-batch redundancy") has the
+    group path 1.1–1.7× FASTER at 2/8 cores: postings there total tens
+    of MB, so B× replication never saturates anything, while this path
+    pays a per-query numpy loop in every range group. The crossover is
+    postings volume: use scan mode when (batch size × shared posting
+    bytes) outgrows what the cluster can shuffle — the same
+    bandwidth-vs-CPU trade, in the same direction, as the two-phase
+    postings encode (jobs/run_queries.py ``--mode scan``).
+    """
+    index.check_fresh()
+    qrows = _query_term_rows(queries, min_token_len, remove_numeric)
+    terms = sorted({t for _, t, _ in qrows})
+    if not terms:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    qrows, rep_for_qid, fan_out = _dedup_reps(queries, qrows)
+
+    idf_map, buckets = _lex_lookup(spark, index, terms)
+    qmeta: dict[str, dict[str, tuple[float, int]]] = {}
+    for qid, t, qtf in qrows:
+        if t in idf_map:
+            qmeta.setdefault(qid, {})[t] = (float(idf_map[t]), int(qtf))
+    qmeta = {q: m for q, m in qmeta.items() if m}
+    if not qmeta:
+        return spark.createDataFrame([], TOPK_SCHEMA)
+    live_terms = sorted({t for m in qmeta.values() for t in m})
+    q_items = sorted(qmeta.items())
+
+    blocks = (
+        index.postings_for(spark, buckets)
+        .filter(
+            F.col("term_bucket").isin(buckets)
+            & F.col("term").isin(live_terms)
         )
-        result = (
-            result.withColumnRenamed("query_id", "rep")
-            .join(F.broadcast(mapping), "rep")
-            .select("query_id", "rank", "doc_id", "score")
+        .select("term", "block_id", "docs_enc", "tfs_enc", "dls_enc")
+    )
+    max_block = max(1, index.n_docs // index.block_range)
+    n_ranges = n_ranges or spark.sparkContext.defaultParallelism * 4
+    blocks_per_part = max(1, (max_block + n_ranges) // n_ranges)
+    ranged = blocks.withColumn(
+        "_range", (F.col("block_id") / F.lit(blocks_per_part)).cast("long")
+    )
+
+    avgdl, k1, b = index.avgdl, index.k1, index.b
+
+    def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+        # canonical row order, then decode every block ONCE; per-posting
+        # bm25 weights are query-independent, so they are computed once
+        # too — per query only its factor-scaled gather+reduce remains
+        pdf = pdf.sort_values(
+            ["term", "block_id"], kind="mergesort", ignore_index=True
         )
+        d_lists, t_lists, l_lists = decode_postings_many(
+            list(pdf["docs_enc"]), list(pdf["tfs_enc"]), list(pdf["dls_enc"])
+        )
+        term_dw: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        term_vals = list(pdf["term"])
+        i = 0
+        while i < len(term_vals):
+            j = i
+            while j < len(term_vals) and term_vals[j] == term_vals[i]:
+                j += 1
+            docs = np.concatenate(d_lists[i:j]).astype(np.int64)
+            tfs = np.concatenate(t_lists[i:j])
+            dls = np.concatenate(l_lists[i:j])
+            term_dw[term_vals[i]] = (docs, bm25_weight(tfs, dls, avgdl, k1, b))
+            i = j
+        out = []
+        for qid, meta in q_items:
+            hit = [t for t in sorted(meta) if t in term_dw]
+            if not hit:
+                continue
+            docs = np.concatenate([term_dw[t][0] for t in hit])
+            w = np.concatenate(
+                [term_dw[t][1] * (meta[t][0] * meta[t][1]) for t in hit]
+            )
+            srt = np.argsort(docs, kind="stable")
+            sd, sw = docs[srt], w[srt]
+            starts = np.flatnonzero(
+                np.concatenate(([True], sd[1:] != sd[:-1]))
+            )
+            doc_ids = sd[starts]
+            scores = np.add.reduceat(sw, starts)
+            if len(scores) > k:
+                thr = np.partition(-scores, k - 1)[k - 1]
+                keep = np.flatnonzero(-scores <= thr)
+                doc_ids, scores = doc_ids[keep], scores[keep]
+            order = np.lexsort((doc_ids, -scores))[:k]
+            doc_ids, scores = doc_ids[order], scores[order]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qid,
+                        "rank": np.arange(
+                            1, len(doc_ids) + 1, dtype=np.int32
+                        ),
+                        "doc_id": doc_ids,
+                        "score": scores,
+                    }
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            )
+        return pd.concat(out, ignore_index=True)
+
+    partial = ranged.groupBy("_range").applyInPandas(
+        score_range, schema=TOPK_SCHEMA
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    result = (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score")
+    )
+    if fan_out:
+        result = _fan_out_result(spark, result, rep_for_qid)
     return result

@@ -225,6 +225,46 @@ def test_duplicate_query_batch_dedups_and_fans_out(spark, index, queries_pdf):
             assert got2[qid] == want[qid]
 
 
+def test_scan_path_matches_group_path(spark, index, queries_pdf):
+    """The batch-analytic scan path (group by doc-range, queries shipped
+    in the closure — query-count-independent shuffle) returns identical
+    ids AND scores to the group-by-query WAND path, on the full fixture
+    set, with duplicates, and with absent-term queries."""
+    from sparkrec.operators.scorer import bm25_query_topk_scan
+
+    queries = list(zip(queries_pdf["query_id"], queries_pdf["query_text"]))
+    k = 10
+
+    def by_qid(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        return {q: sorted(v) for q, v in out.items()}
+
+    want = by_qid(bm25_query_topk(spark, index, queries, k=k).collect())
+    got = by_qid(bm25_query_topk_scan(spark, index, queries, k=k).collect())
+    assert got == want
+
+    # single-range degenerate grouping must also be exact
+    got1 = by_qid(
+        bm25_query_topk_scan(
+            spark, index, queries, k=k, n_ranges=1
+        ).collect()
+    )
+    assert got1 == want
+
+    mixed = queries[:3] + [
+        (f"{queries[0][0]}-dup", queries[0][1]),
+        ("q-absent", "zqzq"),
+    ]
+    want_m = by_qid(bm25_query_topk(spark, index, mixed, k=k).collect())
+    got_m = by_qid(bm25_query_topk_scan(spark, index, mixed, k=k).collect())
+    assert got_m == want_m
+    assert "q-absent" not in got_m
+
+
 def test_bucket_subset_warm_covers_and_falls_back(spark, index_root, queries_pdf):
     """warm(buckets=[...]) pins only the hot term_buckets; queries whose
     terms live inside the warm set serve from the cache, anything else
