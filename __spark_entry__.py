@@ -259,6 +259,22 @@ def q_bm25_wand_topk(spark, sf_dir):
     )
 
 
+def q_bm25_scan_topk(spark, sf_dir):
+    """Scan-mode batch scoring (scorer.bm25_query_topk_scan): postings
+    grouped by doc-range only (query-count-independent exchange), the
+    query set shipped in the UDF closure, exhaustive per-range scoring
+    from once-decoded arrays, exact per-query window merge. Bit-identical
+    to the WAND group path (tests/test_index_query.py), so it shares the
+    same from-first-principles DuckDB BM25 twin as `bm25_wand_topk`."""
+    from sparkrec.operators.scorer import bm25_query_topk_scan
+
+    idx = _docs_index(spark, sf_dir)
+    out = bm25_query_topk_scan(spark, idx, Q_SINGLE, TOP_K)
+    return _ranked(out.select("query_id", "doc_id", "score"), TOP_K, False).drop(
+        "query_id"
+    )
+
+
 def q_multi_input_fold(spark, sf_dir):
     from sparkrec.operators.recommend import fold_multi_input_scores
 
@@ -984,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_topk_batch": q_bm25_topk_batch,
         "bm25_wand_topk": q_bm25_wand_topk,
+        "bm25_scan_topk": q_bm25_scan_topk,
         "multi_input_fold": q_multi_input_fold,
         "bigram_counts": q_bigram_counts,
         "phrase_mine": q_phrase_mine,
@@ -1841,6 +1858,7 @@ SELECT count(*) AS n_docs, round(avg(len(tokens)), 6) AS avgdl FROM toks""",
         "bm25_topk": bm25_single,
         "bm25_topk_batch": bm25_batch,
         "bm25_wand_topk": bm25_single,
+        "bm25_scan_topk": bm25_single,
         "multi_input_fold": fold,
         "bigram_counts": bigrams,
         "phrase_mine": phrase_mine,
