@@ -61,6 +61,33 @@ def test_postings_scan_prunes_partitions_and_pushes_term_filter(spark, index):
                for l in pushed), pushed
 
 
+def test_scan_mode_has_no_query_join_single_exchange(spark, index):
+    """Scan-mode batch scoring's structural claim: the query set ships in
+    the UDF closure, so the plan has NO join of a query side at all, the
+    postings scan stays partition-pruned/term-pushed, and the only
+    corpus-sized exchange is the one hashpartitioning on the doc-range
+    key — query-count-independent by construction."""
+    from sparkrec.operators.scorer import bm25_query_topk_scan
+
+    out = bm25_query_topk_scan(
+        spark, index, [("q1", "term0001 term0007"), ("q2", "term0003")], 5
+    )
+    p = plan(out)
+    assert "PartitionFilters" in p and "term_bucket" in p
+    assert "PushedFilters" in p
+    # all-distinct batch: no fan-out, and no query-side join of any kind
+    assert "BroadcastHashJoin" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # exactly one exchange feeds the scoring UDF: hashpartitioning(_range);
+    # the remaining exchange belongs to the per-query top-k window merge
+    ex = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert any("_range" in l for l in ex), ex
+    range_ex = [l for l in ex if "_range" in l]
+    assert len(range_ex) == 1, range_ex
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
 def test_bm25_join_is_broadcast_not_smj(spark, docs):
     tf = term_freqs(docs)
     n, avgdl = corpus_stats(docs)
