@@ -31,7 +31,9 @@ def main() -> None:
     )
     from sparkrec.operators.docs import assemble_docs, assign_doc_ids
     from sparkrec.operators.indexer import Index, IndexConfig, build_index
-    from sparkrec.operators.scorer import bm25_query_topk
+    from sparkrec.operators.scorer import (
+        bm25_query_topk, bm25_query_topk_scan,
+    )
     from sparkrec.session import get_spark
 
     spark = get_spark(app_name="dump-plans", master="local[4]",
@@ -65,6 +67,23 @@ def main() -> None:
             "warm driver-resident lexicon map supplying idf+bucket lookups "
             "job-free on both paths (indexer.Index.warm).",
             plan(bm25_query_topk(spark, idx, [("q", "term0001 term0007")], 5)),
+        ),
+        (
+            "Scan-mode batch scoring (query-count-independent shuffle)",
+            "Must show: the SAME pruned/pushed postings scan, NO join of "
+            "a query side at all (queries ship to the data in the UDF "
+            "closure), and exactly one corpus-sized Exchange — "
+            "`hashpartitioning(_range)` — feeding one "
+            "`FlatMapGroupsInPandas`; the second, tiny exchange is the "
+            "per-query top-k window merge. Each posting block crosses "
+            "the exchange ONCE regardless of batch size, vs once per "
+            "query in the group path — the batch-analytics shape for "
+            "corpus-scale postings (BENCH.md \"Query-batch redundancy\" "
+            "for the A/B; group mode stays the default at small posting "
+            "volumes).",
+            plan(bm25_query_topk_scan(
+                spark, idx,
+                [("q1", "term0001 term0007"), ("q2", "term0003")], 5)),
         ),
         (
             "DataFrame-only BM25 batch top-k",
